@@ -1,0 +1,19 @@
+"""mimic_iv_etl_spark — a PySpark-native CDC / incremental-ingest engine.
+
+Brand-new engine with the query and data-processing capabilities of the
+reference repo (kevinmenear/mimic-iv-etl, surveyed in /root/repo/SURVEY.md),
+re-expressed Spark-first:
+
+- ``lake``       — snapshot-based lake-table format (Iceberg-style semantics:
+                   atomic commits, bucket pruning, CoW merge, schema evolution,
+                   snapshot summary properties) in pure PySpark + parquet.
+- ``cdc``        — change-log generation, LWW dedup, batch apply, replay with
+                   checkpoint resume, exactly-once idempotent commits,
+                   Structured Streaming shell, lineage + metrics.
+- ``operators``  — the reference's analytic operator inventory (SURVEY.md §2)
+                   plus large-scale training-data ops (dedup, similarity
+                   search, text analysis, multimodal plumbing).
+- ``functions``  — vectorized (Arrow/pandas_udf) scalar helpers.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,191 @@
+"""Deterministic seeded change-log generator (FIXTURES.md F2/F3).
+
+The reference's "change stream" story is full re-extraction of filtered
+snapshots (``sample_data_generator.py:22-60``); this generator produces the
+binlog/WAL-style stream the new engine consumes instead: insert/update/delete
+events over the transcript key ``(conv_id, turn_idx)`` with dials for op mix,
+hot-key skew, timestamp ties, late (out-of-order) arrivals, payload JSON, and
+a mid-log schema-evolution tranche (added ``tool_version``/``latency_ms``
+columns, int→long widening).
+
+Pure numpy + pyarrow: generating 10^7 events takes seconds and never touches
+Spark, so benchmarks measure the engine, not the fixture.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass, field
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+ROLES = np.array(["user", "assistant", "system", "tool"])
+TOOLS = np.array(["search", "bash", "browser", "editor", "none"])
+
+# Token soup incl. unicode NFC/NFD pairs (é as one codepoint vs e+combining
+# accent) and empty strings — per FIXTURES.md F1 text generator notes.
+_VOCAB = [
+    "alpha", "beta", "gamma", "delta", "epsilon", "lambda", "sigma", "omega",
+    "café", "café", "naïve", "naïve", "☃", "über",
+    "stream", "merge", "upsert", "checkpoint", "offset", "snapshot", "bucket",
+    "",
+]
+
+
+@dataclass
+class ChangeLogSpec:
+    """Dials for the generator. Defaults follow FIXTURES.md F2."""
+
+    n_events: int = 20_000
+    n_convs: int = 1_000
+    n_partitions: int = 4
+    max_turns: int = 50
+    seed: int = 42
+    op_mix: tuple[float, float, float] = (0.70, 0.25, 0.05)  # I / U / D
+    hot_fraction: float = 0.20     # share of events hitting the hot conversation
+    late_fraction: float = 0.05    # events whose ts is pulled far into the past
+    tie_quantum_s: int = 4         # ts quantization → exact ties on busy keys
+    payload: bool = True           # emit JSON payload column (decode-UDF path)
+    evolve_at: float | None = None  # fraction of log after which F3 columns appear
+    files_per_tranche: int = 4     # parquet files per tranche (stream source granularity)
+    long_text_every: int = 997     # 1/N events get a >=16KB text (FIXTURES F1 tail case)
+
+    hot_conv: str = field(init=False, default="conv-000000")
+
+
+def _conv_ids(idx: np.ndarray) -> np.ndarray:
+    return np.char.add("conv-", np.char.zfill(idx.astype("U6"), 6))
+
+
+def generate_change_log(out_dir: str, spec: ChangeLogSpec | None = None) -> dict:
+    """Write the change log as parquet files under ``out_dir``.
+
+    Layout: ``tranche-0/part-*.parquet`` (base schema) and, when
+    ``spec.evolve_at`` is set, ``tranche-1/part-*.parquet`` (evolved schema:
+    + tool_version string, + latency_ms int64; the base tranche carries no such
+    columns at all — the reader must union-by-name). Returns a manifest dict.
+
+    Offsets are the total order within each source partition (assigned in
+    arrival order); ``partition = hash(conv) % P``. Arrival order is the
+    generation order, so late events (old ``ts``, high ``offset``) exist by
+    construction when ``late_fraction > 0``.
+    """
+    spec = spec or ChangeLogSpec()
+    rng = np.random.default_rng(spec.seed)
+    n = spec.n_events
+
+    # --- keys: Zipf-ish conversation draw + an explicit hot conversation ---
+    conv_idx = rng.zipf(1.3, size=n) % spec.n_convs
+    hot_mask = rng.random(n) < spec.hot_fraction
+    conv_idx = np.where(hot_mask, 0, conv_idx).astype(np.int64)
+    conv_id = _conv_ids(conv_idx)
+    turn_idx = rng.integers(0, spec.max_turns, size=n, dtype=np.int32)
+
+    # --- ops ---
+    ops = rng.choice(np.array(["I", "U", "D"]), size=n, p=list(spec.op_mix))
+
+    # --- event time: quantized arrival order + jitter + late arrivals ---
+    base_us = np.int64(1_767_225_600_000_000)  # 2026-01-01T00:00:00Z in micros
+    arrival = np.arange(n, dtype=np.int64)
+    ts_s = (arrival // spec.tie_quantum_s) * spec.tie_quantum_s
+    jitter = rng.integers(0, spec.tie_quantum_s, size=n)
+    ts_s = ts_s + jitter - (jitter % 2)  # keep coarse ties while adding texture
+    late = rng.random(n) < spec.late_fraction
+    ts_s = np.where(late, np.maximum(ts_s - rng.integers(1, n + 1, size=n), 0), ts_s)
+    ts_us = base_us + ts_s * 1_000_000
+
+    # --- payload columns ---
+    role = ROLES[rng.integers(0, len(ROLES), size=n)]
+    tool = TOOLS[rng.integers(0, len(TOOLS), size=n)]
+    tool = np.where(rng.random(n) < 0.3, None, tool)
+    w1 = rng.integers(0, len(_VOCAB), size=n)
+    w2 = rng.integers(0, len(_VOCAB), size=n)
+    vocab = np.array(_VOCAB, dtype=object)
+    text = np.array(
+        [f"{vocab[a]} {vocab[b]} #{i % 10007}" for i, (a, b) in enumerate(zip(w1, w2))],
+        dtype=object,
+    )
+    if spec.long_text_every:
+        for i in range(0, n, spec.long_text_every):
+            text[i] = ("loremé " * 2500) + f"#{i}"  # ≥16KB tail case
+    text = np.where(ops == "D", None, text)
+    role_out = np.where((ops == "D") & (rng.random(n) < 0.5), None, role)
+
+    # --- source partition + per-partition offsets (arrival order) ---
+    partition = ((conv_idx * np.int64(2654435761)) % spec.n_partitions).astype(np.int32)
+    offset = np.zeros(n, dtype=np.int64)
+    for p in range(spec.n_partitions):
+        m = partition == p
+        offset[m] = np.arange(int(m.sum()), dtype=np.int64)
+
+    # --- evolved tranche columns (FIXTURES F3) ---
+    split = int(n * spec.evolve_at) if spec.evolve_at is not None else n
+    tool_version = np.where(
+        rng.random(n) < 0.8, np.char.add("v1.", (conv_idx % 7).astype("U2")), None
+    )
+    latency_ms = rng.integers(1, 5_000, size=n).astype(np.int64)
+
+    payload_col = None
+    if spec.payload:
+        payload_col = np.array(
+            [
+                json.dumps(
+                    {
+                        "role": None if r is None else str(r),
+                        "text": None if t is None else str(t),
+                        "tool": None if tl is None else str(tl),
+                    },
+                    ensure_ascii=False,
+                )
+                for r, t, tl in zip(role_out, text, tool)
+            ],
+            dtype=object,
+        )
+
+    def _table(sl: slice, evolved: bool) -> pa.Table:
+        cols: dict[str, pa.Array] = {
+            "op": pa.array(ops[sl]),
+            "conv_id": pa.array(conv_id[sl]),
+            "turn_idx": pa.array(turn_idx[sl], pa.int32()),
+            "role": pa.array(role_out[sl]),
+            "text": pa.array(text[sl]),
+            "tool": pa.array(tool[sl]),
+            "ts": pa.array(ts_us[sl], pa.timestamp("us")),
+            "offset": pa.array(offset[sl], pa.int64()),
+            "partition": pa.array(partition[sl], pa.int32()),
+        }
+        if payload_col is not None:
+            cols["payload"] = pa.array(payload_col[sl])
+        if evolved:
+            cols["tool_version"] = pa.array(tool_version[sl])
+            cols["latency_ms"] = pa.array(latency_ms[sl], pa.int64())
+        return pa.table(cols)
+
+    os.makedirs(out_dir, exist_ok=True)
+    manifest: dict = {"tranches": [], "n_events": n, "n_partitions": spec.n_partitions}
+    tranches = [(0, slice(0, split), False)]
+    if split < n:
+        tranches.append((1, slice(split, n), True))
+    for t_id, sl, evolved in tranches:
+        t_dir = os.path.join(out_dir, f"tranche-{t_id}")
+        os.makedirs(t_dir, exist_ok=True)
+        tbl = _table(sl, evolved)
+        k = max(1, spec.files_per_tranche)
+        step = -(-tbl.num_rows // k)
+        files = []
+        for i in range(k):
+            chunk = tbl.slice(i * step, step)
+            if chunk.num_rows == 0:
+                continue
+            path = os.path.join(t_dir, f"part-{i:05d}.parquet")
+            pq.write_table(chunk, path)
+            files.append(path)
+        manifest["tranches"].append(
+            {"id": t_id, "evolved": evolved, "rows": tbl.num_rows, "files": files}
+        )
+    with open(os.path.join(out_dir, "manifest.json"), "w") as f:
+        json.dump(manifest, f, indent=1)
+    return manifest
