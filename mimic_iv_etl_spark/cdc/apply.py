@@ -1,0 +1,168 @@
+"""Batch apply: change events → LakeTable, exactly-once, schema-evolving.
+
+This is the engine's MERGE kernel, run per micro-batch (from the replay loop
+or Structured Streaming ``foreachBatch``). Dataflow per batch:
+
+1. **Exactly-once filter** — drop events whose ``(partition, offset)`` is at
+   or below the table's committed ``applied_offsets`` (snapshot summary). A
+   replayed/duplicated batch reduces to a metadata-only no-op commit, so
+   foreachBatch retries and checkpoint restarts are idempotent.
+2. **Schema evolution** — merge the batch's data schema into the table schema
+   (union-by-name, int→long/float→double widening) *before* apply
+   (SURVEY.md §4.3 item 5).
+3. **LWW dedup** — one winner per ``(conv_id, turn_idx)`` by
+   ``(ts, offset, partition)`` via skew-proof ``max_by`` partial aggregation
+   (reference precedent: latest-record-per-key, ``feature_engineering.py:238-240``).
+4. **Commit** — winners land as merge-on-read delta files (O(batch) IO),
+   snapshot tagged with the updated applied-offset map; lineage rows
+   (batch × source partition × offset range) and a throughput metrics row are
+   appended.
+
+Exactly ONE Spark action runs per non-empty batch besides the write itself: a
+P-row aggregate collecting per-source-partition (count, min, max offset) —
+the driver never sees data rows (contrast: the reference collects key lists
+to the driver, ``ml_readmission_risk.ipynb`` cells 14/21/31, SURVEY.md §2.12).
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from mimic_iv_etl_spark.cdc.metrics import append_lineage, append_metrics
+from mimic_iv_etl_spark.lake.merge import lww_reduce
+from mimic_iv_etl_spark.lake.schema import merge_schemas, schemas_equal
+from mimic_iv_etl_spark.lake.table import BUCKET_COL, LakeTable
+
+META_COLS = ("op", "offset", "partition", "payload")
+
+
+def apply_batch(
+    table: LakeTable,
+    batch_df: DataFrame,
+    batch_id: int,
+    dedup_mode: str = "agg",
+    commit_noop: bool = False,
+) -> dict:
+    """Apply one micro-batch of change events to ``table``. Returns stats.
+
+    A fully-stale batch (every event at or below the committed high-water
+    marks — duplicate delivery / replay after restart) applies nothing; with
+    ``commit_noop=True`` it still writes a metadata-only snapshot carrying the
+    batch id (epoch audit trail), otherwise the table is left untouched."""
+    t0 = time.monotonic()
+    spark = table.spark
+
+    data_fields = [f for f in batch_df.schema.fields if f.name not in META_COLS]
+    batch_data_schema = type(table.schema)(data_fields)
+    merged = merge_schemas(table.schema, batch_data_schema)
+    evolved = not schemas_equal(merged, table.schema)
+
+    # -- exactly-once: keep only offsets beyond the committed high-water mark --
+    applied = table.applied_offsets
+    if applied:
+        rows = [(int(p), int(o)) for p, o in applied.items()]
+        hwm = spark.createDataFrame(rows, "partition int, _hwm long")
+        fresh = (
+            batch_df.join(F.broadcast(hwm), "partition", "left")
+            .filter(F.col("offset") > F.coalesce(F.col("_hwm"), F.lit(-1)))
+            .drop("_hwm")
+        )
+    else:
+        fresh = batch_df
+
+    # the single driver-side aggregate: per-source-partition ranges (≤P rows)
+    ranges = (
+        fresh.groupBy("partition")
+        .agg(
+            F.count("*").alias("events"),
+            F.min("offset").alias("min_offset"),
+            F.max("offset").alias("max_offset"),
+        )
+        .collect()
+    )
+    events_applied = sum(r["events"] for r in ranges)
+
+    if events_applied == 0:
+        if commit_noop:
+            table.commit_summary({"batch_id": batch_id, "operation": "noop_batch"})
+        secs = time.monotonic() - t0
+        stats = {
+            "batch_id": batch_id,
+            "events_in": 0,
+            "events_applied": 0,
+            "winners": 0,
+            "seconds": secs,
+            "events_per_sec": 0.0,
+            "touched_buckets": 0,
+            "skipped": True,
+            "snapshot_version": table.version,
+            "lag_events": None,
+        }
+        append_metrics(table.path, stats)
+        return stats
+
+    new_applied = {str(p): o for p, o in applied.items()}
+    for r in ranges:
+        p = str(r["partition"])
+        new_applied[p] = max(int(new_applied.get(p, -1)), int(r["max_offset"]))
+
+    # -- internal candidate rows: data cols aligned to merged schema + stamps --
+    have = set(batch_df.columns)
+    data_cols = [
+        F.col(f.name).cast(f.dataType).alias(f.name)
+        if f.name in have
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in merged.fields
+    ]
+    candidates = fresh.select(
+        *data_cols,
+        (F.col("op") == F.lit("D")).alias("_deleted"),
+        F.col("offset").cast("long").alias("_lww_offset"),
+        F.col("partition").cast("int").alias("_lww_partition"),
+    )
+
+    winners = lww_reduce(candidates, table.key_cols, mode=dedup_mode)
+    winners = winners.withColumn(BUCKET_COL, table.bucket_expr())
+
+    table.append_delta(
+        winners,
+        new_schema=merged if evolved else None,
+        summary={"applied_offsets": new_applied, "batch_id": batch_id},
+    )
+
+    new_files = table.last_new_entries
+    n_winners = sum(e.get("rows", 0) for e in new_files)
+    touched = {e["bucket"] for e in new_files}
+
+    secs = time.monotonic() - t0
+    stats = {
+        "batch_id": batch_id,
+        "events_in": int(events_applied),
+        "events_applied": int(events_applied),
+        "winners": int(n_winners),
+        "seconds": secs,
+        "events_per_sec": events_applied / secs if secs > 0 else float("inf"),
+        "touched_buckets": len(touched),
+        "skipped": False,
+        "snapshot_version": table.version,
+        "lag_events": None,
+    }
+    append_metrics(table.path, stats)
+    append_lineage(
+        table.path,
+        [
+            {
+                "batch_id": batch_id,
+                "partition": int(r["partition"]),
+                "min_offset": int(r["min_offset"]),
+                "max_offset": int(r["max_offset"]),
+                "events": int(r["events"]),
+                "snapshot_version": table.version,
+            }
+            for r in ranges
+        ],
+    )
+    return stats

@@ -1,0 +1,400 @@
+"""LakeTable: snapshot-versioned parquet table with Iceberg-style semantics.
+
+Layout::
+
+    <path>/metadata/v{N}.json     one immutable snapshot per version
+    <path>/metadata/version-hint.txt   current version (atomic os.replace)
+    <path>/data/bucket={b}/part-*.parquet
+
+A snapshot records the full file list (path, bucket, schema_id, rows), the
+schema history, and a free-form ``summary`` dict. Commits are optimistic:
+``v{N}.json`` is created with O_EXCL, so a lost race surfaces as
+``CommitConflict`` instead of silent corruption; crash *between* staging data
+files and writing the snapshot leaves only unreferenced orphans (the commit
+point is one atomic file creation) — this is the idempotent-commit foundation
+for the engine's exactly-once story (SURVEY.md §4.3 item 4).
+
+Reads prune at bucket granularity (the file list is bucket-keyed) and handle
+per-file schema ids: files written before a schema evolution are read with
+their written schema and aligned (missing columns → NULL, widened casts) —
+merge-on-read alignment, no rewrite at evolution time.
+
+Files come in two kinds, giving Iceberg-v2-style **merge-on-read** upserts:
+``base`` files hold at most one row per key; ``delta`` files hold per-batch
+LWW winners appended by the CDC apply path. Ingest cost is O(batch) — a
+commit never reads or rewrites existing data. The read path LWW-reduces
+base+delta rows by stamp (skipped when no deltas are selected); ``compact()``
+folds deltas into fresh base files per bucket. At 10^10-event scale this is
+the difference between replay throughput bounded by batch size vs bounded by
+table size.
+
+Rows carry three internal columns beyond the user schema:
+``_deleted boolean`` (LWW tombstone — a deleted key keeps its last-writer
+stamp so late, older updates cannot resurrect it), ``_lww_offset long`` and
+``_lww_partition int`` (the last writer's source coordinates; with the data
+column ``ts`` they form the total LWW order ``(ts, offset, partition)``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+import pyarrow.parquet as pq
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mimic_iv_etl_spark.lake.merge import lww_reduce
+from mimic_iv_etl_spark.lake.schema import schemas_equal
+
+INTERNAL_FIELDS = [
+    T.StructField("_deleted", T.BooleanType(), False),
+    T.StructField("_lww_offset", T.LongType(), False),
+    T.StructField("_lww_partition", T.IntegerType(), False),
+]
+INTERNAL_COLS = [f.name for f in INTERNAL_FIELDS]
+BUCKET_COL = "_bucket"
+
+
+class CommitConflict(RuntimeError):
+    """Another writer committed the same snapshot version first."""
+
+
+def _internal_schema(public: T.StructType) -> T.StructType:
+    return T.StructType(list(public.fields) + INTERNAL_FIELDS)
+
+
+class LakeTable:
+    """Handle on a snapshot table rooted at ``path``."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self._meta_dir = os.path.join(self.path, "metadata")
+        self._data_dir = os.path.join(self.path, "data")
+        self.refresh()
+
+    # ------------------------------------------------------------- metadata
+
+    @staticmethod
+    def exists(path: str) -> bool:
+        return os.path.exists(os.path.join(path, "metadata", "version-hint.txt"))
+
+    @classmethod
+    def create(
+        cls,
+        spark: SparkSession,
+        path: str,
+        schema: T.StructType,
+        n_buckets: int = 32,
+        key_cols: tuple[str, ...] = ("conv_id", "turn_idx"),
+        bucket_by: str | None = None,
+    ) -> "LakeTable":
+        """Create an empty table (snapshot v0). ``bucket_by`` defaults to the
+        first key column — the north rule's hash-partition-on-conv_id."""
+        path = os.path.abspath(path)
+        if cls.exists(path):
+            raise FileExistsError(f"table already exists at {path}")
+        os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
+        os.makedirs(os.path.join(path, "data"), exist_ok=True)
+        snap = {
+            "version": 0,
+            "parent": None,
+            "created_ms": int(time.time() * 1000),
+            "schema_id": 0,
+            "schemas": {"0": json.loads(schema.json())},
+            "n_buckets": n_buckets,
+            "key_cols": list(key_cols),
+            "bucket_by": bucket_by or key_cols[0],
+            "files": [],
+            "summary": {"applied_offsets": {}, "operation": "create"},
+        }
+        _write_snapshot(os.path.join(path, "metadata"), snap)
+        return cls(spark, path)
+
+    def refresh(self) -> "LakeTable":
+        hint = os.path.join(self._meta_dir, "version-hint.txt")
+        with open(hint) as f:
+            version = int(f.read().strip())
+        with open(os.path.join(self._meta_dir, f"v{version}.json")) as f:
+            self.snapshot = json.load(f)
+        return self
+
+    @property
+    def version(self) -> int:
+        return self.snapshot["version"]
+
+    @property
+    def schema(self) -> T.StructType:
+        """Current public (user-facing) schema."""
+        sid = str(self.snapshot["schema_id"])
+        return T.StructType.fromJson(self.snapshot["schemas"][sid])
+
+    @property
+    def internal_schema(self) -> T.StructType:
+        return _internal_schema(self.schema)
+
+    @property
+    def n_buckets(self) -> int:
+        return self.snapshot["n_buckets"]
+
+    @property
+    def key_cols(self) -> list[str]:
+        return list(self.snapshot["key_cols"])
+
+    @property
+    def summary(self) -> dict:
+        return self.snapshot["summary"]
+
+    @property
+    def applied_offsets(self) -> dict[int, int]:
+        """Max applied source offset per source partition (exactly-once state)."""
+        return {int(k): int(v) for k, v in self.summary.get("applied_offsets", {}).items()}
+
+    def history(self) -> list[dict]:
+        out = []
+        v: int | None = self.version
+        snap = self.snapshot
+        while True:
+            out.append(snap)
+            v = snap["parent"]
+            if v is None:
+                break
+            with open(os.path.join(self._meta_dir, f"v{v}.json")) as f:
+                snap = json.load(f)
+        return out
+
+    # ------------------------------------------------------------------ read
+
+    def bucket_expr(self, col: str | None = None) -> F.Column:
+        """The bucket routing expression — MUST be identical on write and read."""
+        c = col or self.snapshot["bucket_by"]
+        return F.pmod(F.xxhash64(F.col(c)), F.lit(self.n_buckets)).cast("int")
+
+    def read(self, buckets: set[int] | None = None, internal: bool = False) -> DataFrame:
+        """Scan the table. ``buckets`` prunes the file list before Spark sees it
+        (metadata-level partition pruning); ``internal=True`` keeps tombstones
+        and LWW stamp columns (the merge path needs them).
+
+        Merge-on-read: when the selected files include delta files, rows are
+        LWW-reduced per key (skew-proof ``max_by`` partial agg); a selection of
+        pure base files skips the reduce entirely — post-compaction reads are
+        plain pruned parquet scans."""
+        target = self.internal_schema
+        files = self.snapshot["files"]
+        if buckets is not None:
+            files = [e for e in files if e["bucket"] in buckets]
+        has_delta = any(e.get("kind", "base") == "delta" for e in files)
+        by_schema: dict[str, list[str]] = {}
+        for e in files:
+            by_schema.setdefault(str(e["schema_id"]), []).append(
+                os.path.join(self.path, e["path"])
+            )
+        parts: list[DataFrame] = []
+        for sid, paths in sorted(by_schema.items()):
+            written = _internal_schema(T.StructType.fromJson(self.snapshot["schemas"][sid]))
+            df = self.spark.read.schema(written).parquet(*paths)
+            parts.append(_align(df, target))
+        if parts:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        else:
+            out = self.spark.createDataFrame([], target)
+        if has_delta:
+            out = lww_reduce(out, self.key_cols)
+        if internal:
+            return out
+        return out.filter(~F.col("_deleted")).drop(*INTERNAL_COLS)
+
+    # ----------------------------------------------------------------- write
+
+    def _stage_write(
+        self, state_df: DataFrame, public: T.StructType, schema_id: int, kind: str
+    ) -> list[dict]:
+        """Write ``state_df`` (internal schema + ``_bucket`` routing column) as
+        bucket-partitioned parquet under a staging dir, then move the files
+        into ``data/bucket=N/``. Returns the new file entries. The snapshot
+        referencing them is written separately — the atomic commit point."""
+        stage = os.path.join(self.path, "_staging", uuid.uuid4().hex)
+        aligned = _align(
+            state_df.select(BUCKET_COL, *[f.name for f in _internal_schema(public).fields]),
+            T.StructType(
+                [T.StructField(BUCKET_COL, T.IntegerType(), False)]
+                + list(_internal_schema(public).fields)
+            ),
+        )
+        aligned.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+        new_entries: list[dict] = []
+        for d in sorted(os.listdir(stage)):
+            if not d.startswith(f"{BUCKET_COL}="):
+                continue
+            b = int(d.split("=", 1)[1])
+            dest = os.path.join(self._data_dir, f"bucket={b}")
+            os.makedirs(dest, exist_ok=True)
+            for fn in sorted(os.listdir(os.path.join(stage, d))):
+                if not fn.endswith(".parquet"):
+                    continue
+                new_name = f"part-{uuid.uuid4().hex}.parquet"
+                abs_path = os.path.join(dest, new_name)
+                os.replace(os.path.join(stage, d, fn), abs_path)
+                rel = os.path.relpath(abs_path, self.path)
+                new_entries.append(
+                    {
+                        "path": rel,
+                        "bucket": b,
+                        "schema_id": schema_id,
+                        "kind": kind,
+                        "rows": pq.read_metadata(abs_path).num_rows,
+                    }
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+        return new_entries
+
+    def _next_schema(
+        self, new_schema: T.StructType | None
+    ) -> tuple[T.StructType, int, dict]:
+        public = new_schema or self.schema
+        schema_id = self.snapshot["schema_id"]
+        schemas = dict(self.snapshot["schemas"])
+        if new_schema is not None and not schemas_equal(new_schema, self.schema):
+            schema_id += 1
+            schemas[str(schema_id)] = json.loads(new_schema.json())
+        return public, schema_id, schemas
+
+    def _commit(
+        self,
+        files: list[dict],
+        schema_id: int,
+        schemas: dict,
+        summary: dict | None,
+        operation: str,
+    ) -> "LakeTable":
+        new_summary = dict(self.summary)
+        new_summary.update(summary or {})
+        new_summary["operation"] = operation
+        snap = {
+            "version": self.version + 1,
+            "parent": self.version,
+            "created_ms": int(time.time() * 1000),
+            "schema_id": schema_id,
+            "schemas": schemas,
+            "n_buckets": self.n_buckets,
+            "key_cols": self.key_cols,
+            "bucket_by": self.snapshot["bucket_by"],
+            "files": files,
+            "summary": new_summary,
+        }
+        _write_snapshot(self._meta_dir, snap)
+        return self.refresh()
+
+    def append_delta(
+        self,
+        winners_df: DataFrame,
+        new_schema: T.StructType | None = None,
+        summary: dict | None = None,
+    ) -> "LakeTable":
+        """Merge-on-read upsert commit: append per-batch LWW winners (internal
+        schema + ``_bucket``) as delta files. Never reads existing data —
+        ingest cost is O(batch). ``summary['applied_offsets']`` must be the
+        full updated map (the exactly-once source of truth)."""
+        public, schema_id, schemas = self._next_schema(new_schema)
+        entries = self._stage_write(winners_df, public, schema_id, "delta")
+        out = self._commit(
+            self.snapshot["files"] + entries, schema_id, schemas, summary, "append_delta"
+        )
+        self.last_new_entries = entries
+        return out
+
+    def overwrite_buckets(
+        self,
+        state_df: DataFrame,
+        touched_buckets: set[int],
+        new_schema: T.StructType | None = None,
+        summary: dict | None = None,
+    ) -> "LakeTable":
+        """Copy-on-write commit: replace every file of ``touched_buckets`` with
+        the rows of ``state_df`` as base files; untouched buckets keep their
+        existing files (no IO). Used by compaction and bulk loads."""
+        public, schema_id, schemas = self._next_schema(new_schema)
+        entries = self._stage_write(state_df, public, schema_id, "base")
+        kept = [e for e in self.snapshot["files"] if e["bucket"] not in touched_buckets]
+        out = self._commit(kept + entries, schema_id, schemas, summary, "overwrite_buckets")
+        self.last_new_entries = entries
+        return out
+
+    def compact(self, buckets: set[int] | None = None) -> "LakeTable":
+        """Fold delta files into fresh base files (one LWW-reduced row per key).
+        Tombstones are retained — they guard against late, older updates
+        resurrecting deleted keys; drop them with :meth:`expire_tombstones`."""
+        files = self.snapshot["files"]
+        delta_buckets = {
+            e["bucket"] for e in files if e.get("kind", "base") == "delta"
+        }
+        target = delta_buckets if buckets is None else (delta_buckets & buckets)
+        if not target:
+            return self
+        state = self.read(buckets=target, internal=True).withColumn(
+            BUCKET_COL, self.bucket_expr()
+        )
+        return self.overwrite_buckets(state, target)
+
+    def expire_tombstones(self, older_than_ts: str) -> "LakeTable":
+        """Maintenance: rewrite all buckets dropping tombstones with
+        ``ts < older_than_ts`` (a watermark: only safe once no in-flight event
+        can be older). Keeps newer tombstones."""
+        state = self.read(internal=True).filter(
+            (~F.col("_deleted")) | (F.col("ts") >= F.lit(older_than_ts).cast("timestamp"))
+        )
+        state = state.withColumn(BUCKET_COL, self.bucket_expr())
+        return self.overwrite_buckets(state, set(range(self.n_buckets)))
+
+    def commit_summary(self, summary: dict) -> "LakeTable":
+        """Metadata-only commit (e.g. marking a batch applied with zero rows)."""
+        snap = dict(self.snapshot)
+        snap["version"] = self.version + 1
+        snap["parent"] = self.version
+        snap["created_ms"] = int(time.time() * 1000)
+        new_summary = dict(self.summary)
+        new_summary.update(summary)
+        snap["summary"] = new_summary
+        _write_snapshot(self._meta_dir, snap)
+        return self.refresh()
+
+
+def _align(df: DataFrame, target: T.StructType) -> DataFrame:
+    """Project ``df`` (written schema) onto ``target``: add missing columns as
+    NULL, cast widened columns. Pure projection — no shuffle."""
+    have = {f.name: f.dataType for f in df.schema.fields}
+    cols = []
+    for f in target.fields:
+        if f.name not in have:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        elif have[f.name] != f.dataType:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
+def _write_snapshot(meta_dir: str, snap: dict) -> None:
+    path = os.path.join(meta_dir, f"v{snap['version']}.json")
+    try:
+        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+    except FileExistsError as e:
+        raise CommitConflict(f"snapshot v{snap['version']} already exists") from e
+    with os.fdopen(fd, "w") as f:
+        json.dump(snap, f)
+        f.flush()
+        os.fsync(f.fileno())
+    tmp = os.path.join(meta_dir, f".hint.{uuid.uuid4().hex}")
+    with open(tmp, "w") as f:
+        f.write(str(snap["version"]))
+        f.flush()
+        os.fsync(f.fileno())
+    os.replace(tmp, os.path.join(meta_dir, "version-hint.txt"))

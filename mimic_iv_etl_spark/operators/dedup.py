@@ -1,0 +1,196 @@
+"""Deduplication operators for training-data pipelines, smallest-cost-first:
+
+- exact:        hash groupBy on normalized text — one shuffle, no pairs.
+- minhash+LSH:  shingle → k-permutation minhash signature → banded bucket
+                join → verified Jaccard. Candidate generation is a self-join
+                only *within* LSH buckets, so the pair space never
+                materializes at corpus scale.
+- simhash:      64-bit sign-aggregated token hashes; near-dups = small
+                Hamming distance within band buckets.
+- n-gram Jaccard: exact verified similarity on candidate pairs.
+
+Signatures are built with higher-order array functions (``transform`` /
+``array_min`` / ``xxhash64``) — whole-stage codegen, no explode of the
+shingle set, no Python. Scale note: every operator here keys its shuffle on a
+hash-uniform value (signature band, text hash), so hot documents don't skew.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+from operator import add
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from mimic_iv_etl_spark.operators.text import _shingles, normalize_text_expr, tokens
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text",
+                id_col: str = "doc_id", normalize: bool = True) -> DataFrame:
+    """Keep one representative row (min id) per identical text.
+    groupBy on the text hash → map-side combine; never compares pairs."""
+    key = normalize_text_expr(text_col) if normalize else F.col(text_col)
+    return (
+        df.withColumn("_k", F.xxhash64(key))
+        .groupBy("_k")
+        .agg(F.min_by(F.struct(*df.columns), F.col(id_col)).alias("_w"),
+             F.count("*").alias("dup_count"))
+        .select(*[F.col(f"_w.{c}").alias(c) for c in df.columns], "dup_count")
+    )
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 3,
+                      k: int = 32, alias: str = "minhash") -> DataFrame:
+    """k-hash minhash signature over word n-gram shingles.
+
+    Hash family: ``xxhash64(i || shingle)`` for i in 0..k-1 — computed as one
+    nested ``transform`` over a literal seed sequence; the shingle array is
+    evaluated once per row.
+    """
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.transform(_shingles(text_col, n),
+                        lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s)))
+        ),
+    )
+    return df.withColumn(alias, sig)
+
+
+def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
+                           sig_col: str = "minhash", bands: int = 8) -> DataFrame:
+    """LSH banding: split the signature into ``bands`` bands, hash each band,
+    self-join per (band_id, band_hash) bucket → candidate id pairs (a < b).
+    Shuffle key = band hash (uniform); pair blowup bounded by bucket size."""
+    k = bands  # rows per band derived from signature length at runtime
+    buckets = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.posexplode(
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(bands - 1)),
+                    lambda b: F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.transform(
+                                F.slice(
+                                    F.col(sig_col),
+                                    b * (F.size(F.col(sig_col)) / bands).cast("int") + 1,
+                                    (F.size(F.col(sig_col)) / bands).cast("int"),
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
+                        )
+                    ),
+                )
+            ).alias("band", "band_hash"),
+        )
+    )
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, ["band", "band_hash"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3) -> DataFrame:
+    """Exact n-gram-shingle Jaccard for candidate ``pairs (id_a, id_b)``.
+    Joins the (small) candidate set back to the shingle arrays and computes
+    |∩| / |∪| with array intersection — verification cost is O(candidates)."""
+    sh = df.select(F.col(id_col).alias("_id"),
+                   F.array_distinct(_shingles(text_col, n)).alias("_sh"))
+    out = (
+        pairs.join(sh.withColumnRenamed("_sh", "sh_a"),
+                   pairs.id_a == sh._id).drop("_id")
+        .join(sh.withColumnRenamed("_sh", "sh_b").alias("s2"),
+              pairs.id_b == F.col("s2._id")).drop("_id")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return out.select(
+        "id_a", "id_b",
+        F.round(F.when(union > 0, inter / union).otherwise(0.0), 6).alias("jaccard"),
+    )
+
+
+def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", n: int = 3, k: int = 32,
+                  bands: int = 8, threshold: float = 0.8) -> DataFrame:
+    """End-to-end near-dup pair detection: minhash → LSH buckets → verified
+    Jaccard ≥ threshold."""
+    sigs = minhash_signature(df, text_col=text_col, n=n, k=k)
+    cands = minhash_lsh_candidates(sigs, id_col=id_col, bands=bands)
+    return ngram_jaccard(df, cands, id_col=id_col, text_col=text_col, n=n).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,
+            alias: str = "simhash") -> DataFrame:
+    """SimHash: per-token 64-bit hash; each output bit is the sign of the
+    Σ±1 vote across tokens. Expressed as ``aggregate`` over the token array
+    into a bit-vote array — single pass, no explode, no shuffle."""
+    votes = F.aggregate(
+        F.transform(tokens(text_col), lambda t: F.xxhash64(t)),
+        F.array_repeat(F.lit(0).cast("long"), bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bits - 1)),
+                lambda i: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                .otherwise(-1)
+                .cast("long"),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    packed = F.aggregate(
+        F.zip_with(
+            votes,
+            F.sequence(F.lit(0), F.lit(bits - 1)).cast("array<long>"),
+            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int")))
+            .otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseXOR(x),
+    )
+    return df.withColumn(alias, packed)
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (popcount via bit_count)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text", max_distance: int = 8,
+                      band_bits: int = 16) -> DataFrame:
+    """Near-dup pairs by simhash: block on each of the 64/band_bits bit-bands
+    (two docs within Hamming distance d share at least one identical band when
+    d < #bands), verify exact Hamming ≤ max_distance within blocks."""
+    n_bands = 64 // band_bits
+    s = simhash(df, text_col=text_col).select(F.col(id_col).alias("_id"), "simhash")
+    bands = s.select(
+        "_id", "simhash",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda i: F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                .bitwiseAND(F.lit((1 << band_bits) - 1)),
+            )
+        ).alias("band", "band_val"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, ["band", "band_val"])
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
+                hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"))
+        .distinct()
+        .filter(F.col("hamming") <= max_distance)
+    )

@@ -1,0 +1,168 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+- ``cosine_topk``     — brute-force exact top-k: the correctness baseline.
+                        Dot products via ``zip_with``/``aggregate`` (JVM,
+                        codegen) in double precision.
+- ``lsh_bucketed_topk`` — the scale path: random-hyperplane LSH signatures
+                        bucket the corpus so candidate generation is a
+                        bucket-local join instead of a full cross join.
+                        Hyperplanes are derived deterministically from
+                        ``xxhash64`` (seeded), so results are reproducible
+                        with no driver-side randomness.
+- ``embedding_near_dups`` — embedding-cosine near-duplicate pairs.
+
+At 100 TB the brute-force path is only for reranking a candidate set; the LSH
+path's shuffle is keyed on (plane-signature) buckets, which are uniform by
+construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors of each query row over the corpus ``df``.
+    Queries are broadcast (the small side by contract); one shuffle for the
+    per-query top-k window."""
+    from pyspark.sql import Window
+
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       F.col(vec_col).alias("_qv"))
+    c = df.select(F.col(id_col).alias("neighbor_id"),
+                  F.col(vec_col).alias("_cv"))
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id", "neighbor_id",
+            F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def hyperplane_signature(df: DataFrame, vec_col: str = "embedding",
+                         n_planes: int = 16, seed: int = 42,
+                         alias: str = "lsh_sig") -> Column | DataFrame:
+    """Random-hyperplane signature: bit p = sign(v · h_p) where component i of
+    plane p is a deterministic pseudo-random ±1/±2/... value derived from
+    ``xxhash64(seed|p|i)``. Expressed with nested higher-order functions —
+    per-row cost O(n_planes × dim), no Python, no shuffle."""
+    sig = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.sequence(F.lit(0), F.size(vec_col) - 1),
+            lambda x, i: F.struct(x.alias("x"), i.alias("i")),
+        ),
+        F.array_repeat(F.lit(0.0), n_planes),
+        lambda acc, e: F.zip_with(
+            acc,
+            F.sequence(F.lit(0), F.lit(n_planes - 1)),
+            lambda a, p: a
+            + e["x"]
+            * (
+                (
+                    F.pmod(
+                        F.xxhash64(
+                            F.concat_ws("|", F.lit(seed), p.cast("string"),
+                                        e["i"].cast("string"))
+                        ),
+                        F.lit(1000),
+                    )
+                    - 499.5
+                )
+                / 499.5
+            ),
+        ),
+        lambda acc: F.aggregate(
+            F.zip_with(
+                acc,
+                F.sequence(F.lit(0), F.lit(n_planes - 1)),
+                lambda a, p: F.when(
+                    a > 0, F.shiftleft(F.lit(1).cast("long"), p.cast("int"))
+                ).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s.bitwiseXOR(x),
+        ),
+    )
+    return df.withColumn(alias, sig)
+
+
+def lsh_bucketed_topk(df: DataFrame, queries: DataFrame, k: int = 10,
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      n_planes: int = 12, seed: int = 42) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane-signature
+    bucket; exact cosine + top-k only within buckets. Recall/cost dial =
+    ``n_planes`` (more planes → smaller buckets → faster, lower recall)."""
+    from pyspark.sql import Window
+
+    corp = hyperplane_signature(
+        df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
+        "_cv", n_planes=n_planes, seed=seed,
+    )
+    qry = hyperplane_signature(
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
+        "_qv", n_planes=n_planes, seed=seed,
+    )
+    scored = (
+        corp.join(qry, "lsh_sig")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("_qv"), F.col("_cv")), 6).alias("cosine"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        threshold: float = 0.95) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+    Exact over the full pair space — use only on a candidate set or small
+    corpus; the LSH variant is the scale path."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b",
+                F.round(cosine(F.col("_va"), F.col("_vb")), 6).alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )

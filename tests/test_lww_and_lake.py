@@ -1,0 +1,167 @@
+"""Unit tests: LWW reduce strategies, lake table commits, schema merge."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from mimic_iv_etl_spark.lake.merge import lww_reduce
+from mimic_iv_etl_spark.lake.schema import merge_schemas, widen
+from mimic_iv_etl_spark.lake.table import BUCKET_COL, CommitConflict, LakeTable
+from tests.util import TRANSCRIPT_SCHEMA
+
+TS = dt.datetime(2026, 1, 1)
+
+
+def _cand(spark, rows):
+    """rows: (conv_id, turn_idx, text, ts_s, offset, partition, deleted)"""
+    schema = (
+        "conv_id string, turn_idx int, text string, ts timestamp, "
+        "_lww_offset long, _lww_partition int, _deleted boolean"
+    )
+    data = [
+        (c, t, x, TS + dt.timedelta(seconds=s), o, p, d)
+        for (c, t, x, s, o, p, d) in rows
+    ]
+    return spark.createDataFrame(data, schema)
+
+
+ROWS = [
+    ("a", 0, "v1", 0, 0, 0, False),
+    ("a", 0, "v2", 5, 1, 0, False),   # newer ts wins
+    ("a", 0, "late", 2, 7, 0, False),  # late: older ts, higher offset → loses
+    ("a", 1, "t1", 3, 2, 0, False),
+    ("a", 1, "t2", 3, 3, 0, False),   # ts tie → offset decides
+    ("b", 0, "x1", 1, 0, 1, False),
+    ("b", 0, None, 9, 1, 1, True),    # delete wins
+    ("c", 0, "p0", 4, 4, 0, False),
+    ("c", 0, "p1", 4, 4, 1, False),   # full tie on (ts, offset) → partition decides
+]
+EXPECT = {("a", 0): ("v2", False), ("a", 1): ("t2", False),
+          ("b", 0): (None, True), ("c", 0): ("p1", False)}
+
+
+@pytest.mark.parametrize("mode", ["agg", "window", "salted_window"])
+def test_lww_reduce_semantics(spark, mode):
+    out = lww_reduce(_cand(spark, ROWS), ["conv_id", "turn_idx"], mode=mode, salt_buckets=3)
+    got = {(r["conv_id"], r["turn_idx"]): (r["text"], r["_deleted"]) for r in out.collect()}
+    assert got == EXPECT
+
+
+def test_lww_modes_equivalent_on_random_data(spark, small_log):
+    d, _, _ = small_log
+    df = (
+        spark.read.parquet(f"{d}/tranche-0")
+        .withColumnRenamed("offset", "_lww_offset")
+        .withColumnRenamed("partition", "_lww_partition")
+        .withColumn("_deleted", F.col("op") == "D")
+        .drop("op", "payload")
+    )
+    outs = [
+        lww_reduce(df, ["conv_id", "turn_idx"], mode=m)
+        .orderBy("conv_id", "turn_idx")
+        .collect()
+        for m in ("agg", "window", "salted_window")
+    ]
+    assert outs[0] == outs[1] == outs[2]
+    assert len(outs[0]) > 0
+
+
+def test_widen_rules():
+    assert widen(T.IntegerType(), T.LongType()) == T.LongType()
+    assert widen(T.LongType(), T.IntegerType()) == T.LongType()
+    assert widen(T.FloatType(), T.DoubleType()) == T.DoubleType()
+    assert widen(T.IntegerType(), T.DoubleType()) == T.DoubleType()
+    assert widen(T.StringType(), T.StringType()) == T.StringType()
+    with pytest.raises(TypeError):
+        widen(T.StringType(), T.LongType())
+
+
+def test_merge_schemas_appends_and_widens():
+    a = T.StructType([T.StructField("x", T.IntegerType(), False),
+                      T.StructField("y", T.StringType(), True)])
+    b = T.StructType([T.StructField("x", T.LongType(), False),
+                      T.StructField("z", T.StringType(), False)])
+    m = merge_schemas(a, b)
+    assert [f.name for f in m.fields] == ["x", "y", "z"]
+    assert m["x"].dataType == T.LongType()
+    assert m["z"].nullable  # appended columns always nullable
+
+
+def _internal(df, table):
+    return df.withColumn(BUCKET_COL, table.bucket_expr())
+
+
+def test_lake_create_append_read_compact(spark, tmp_path):
+    path = str(tmp_path / "tbl")
+    tbl = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=8)
+    assert LakeTable.exists(path)
+    assert tbl.read().count() == 0
+
+    rows = [
+        ("a", 0, "user", "hello", None, TS, False, 0, 0),
+        ("a", 1, "assistant", "hi", "search", TS, False, 1, 0),
+        ("b", 0, "user", "bye", None, TS, True, 2, 1),  # tombstone
+    ]
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, _deleted boolean, _lww_offset long, _lww_partition int"
+    )
+    df = _internal(spark.createDataFrame(rows, schema), tbl)
+    tbl.append_delta(df, summary={"applied_offsets": {"0": 1, "1": 2}})
+
+    assert tbl.version == 1
+    assert tbl.read().count() == 2  # tombstone filtered
+    assert tbl.read(internal=True).count() == 3
+    assert tbl.applied_offsets == {0: 1, 1: 2}
+
+    # newer delta overrides, delete guard: late older update cannot resurrect b/0
+    rows2 = [
+        ("a", 0, "user", "hello2", None, TS + dt.timedelta(seconds=1), False, 3, 0),
+        ("b", 0, "user", "zombie", None, TS - dt.timedelta(seconds=1), False, 4, 1),
+    ]
+    tbl.append_delta(_internal(spark.createDataFrame(rows2, schema), tbl),
+                     summary={"applied_offsets": {"0": 3, "1": 4}})
+    got = {(r["conv_id"], r["turn_idx"]): r["text"] for r in tbl.read().collect()}
+    assert got == {("a", 0): "hello2", ("a", 1): "hi"}
+
+    # compaction folds deltas, preserves state incl. tombstone guard
+    v = tbl.version
+    tbl.compact()
+    assert tbl.version == v + 1
+    assert all(e["kind"] == "base" for e in tbl.snapshot["files"])
+    got2 = {(r["conv_id"], r["turn_idx"]): r["text"] for r in tbl.read().collect()}
+    assert got2 == got
+    assert tbl.read(internal=True).count() == 3  # tombstone survives compaction
+
+    # bucket pruning reads only matching files
+    b_a = tbl.read(internal=True).filter(F.col("conv_id") == "a")
+    bucket_a = (
+        spark.createDataFrame([("a",)], "conv_id string")
+        .select(tbl.bucket_expr().alias("b"))
+        .collect()[0]["b"]
+    )
+    pruned = tbl.read(buckets={bucket_a})
+    assert pruned.count() == b_a.filter(~F.col("_deleted")).count()
+
+
+def test_commit_conflict(spark, tmp_path):
+    path = str(tmp_path / "tbl2")
+    t1 = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=4)
+    t2 = LakeTable(spark, path)
+    t1.commit_summary({"batch_id": 1})
+    with pytest.raises(CommitConflict):
+        t2.commit_summary({"batch_id": 2})  # stale handle loses the race
+
+
+def test_time_travel_history(spark, tmp_path):
+    path = str(tmp_path / "tbl3")
+    tbl = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=4)
+    tbl.commit_summary({"batch_id": 10})
+    tbl.commit_summary({"batch_id": 11})
+    h = tbl.history()
+    assert [s["version"] for s in h] == [2, 1, 0]
+    assert h[0]["summary"]["batch_id"] == 11
