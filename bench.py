@@ -1,0 +1,140 @@
+"""Benchmark harness (driver contract).
+
+Runs the headline workload at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line:
+
+    {"metric": "cdc_replay_seconds", "value": <sec>, "unit": "sec",
+     "events_per_sec": <eps>, "queries": {<name>: <sec>, ...}, "sf": <sf>}
+
+Headline = the engine's reason to exist: full CDC change-log replay
+(LWW dedup → exactly-once delta commits) with events/sec; plus per-query
+wall times for the analytic operator suite (best of 2 runs, computed through
+the noop sink so driver transfer isn't measured).
+
+Scaling evidence (north rule, N vs 4N) lives in scripts/bench_scaling.py →
+BENCH/BASELINE.md; this file stays single-config for the driver.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+BENCH_QUERIES = [
+    "tpch_q1",
+    "order_revenue",
+    "frequency",
+    "group_stats",
+    "latest_per_key",
+    "lww_state",
+    "cumulative_prior_count",
+    "topk_per_group",
+    "exact_dedup",
+    "minhash_near_dups",
+    "simhash_near_dups",
+    "cosine_topk",
+    "token_count",
+    "quality_score",
+]
+
+
+def _sf_label(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(base.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def main() -> None:
+    from mimic_iv_etl_spark import registry
+    from mimic_iv_etl_spark.cdc.changelog import ChangeLogSpec, generate_change_log
+    from mimic_iv_etl_spark.cdc.replay import replay_log
+    from mimic_iv_etl_spark.session import get_spark_session
+    from pyspark.sql import types as T
+
+    spark = get_spark_session(
+        app_name="bench",
+        master=f"local[{CPUS}]",
+        shuffle_partitions=CPUS,
+    )
+
+    # ---- headline: CDC replay throughput (apply loop only, fixture excluded)
+    n_events = max(
+        200_000,
+        spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count(),
+    )
+    log_dir = os.path.join(tempfile.gettempdir(), f"bench_cdc_log_{n_events}")
+    if not os.path.exists(os.path.join(log_dir, "manifest.json")):
+        generate_change_log(
+            log_dir,
+            ChangeLogSpec(
+                n_events=n_events,
+                n_convs=max(1_000, n_events // 20),
+                n_partitions=8,
+                seed=42,
+                payload=False,
+            ),
+        )
+    table_dir = os.path.join(tempfile.gettempdir(), f"bench_cdc_table_{os.getpid()}")
+    shutil.rmtree(table_dir, ignore_errors=True)
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampNTZType(), False),
+        ]
+    )
+    replay = replay_log(
+        spark,
+        log_dir,
+        table_dir,
+        schema=schema,
+        batch_offsets=max(50_000, n_events // 8),
+        n_buckets=CPUS,
+    )
+    shutil.rmtree(table_dir, ignore_errors=True)
+
+    # ---- analytic queries: best of 2, noop sink
+    qtimes: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        fn = registry.REGISTRY[name].fn
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.monotonic()
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        qtimes[name] = round(best, 4)
+
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_seconds",
+                "value": round(replay["seconds"], 4),
+                "unit": "sec",
+                "events_per_sec": round(replay["events_per_sec"], 1),
+                "replay_events": replay["events_applied"],
+                "replay_batches": replay["batches"],
+                "queries": qtimes,
+                "sf": _sf_label(SF_DIR),
+                "cpus": CPUS,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

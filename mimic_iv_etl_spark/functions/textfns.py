@@ -1,0 +1,88 @@
+"""Text normalization + change-event payload decoding.
+
+The reference registers no UDFs at all (SURVEY.md §2.10) — its string work is
+SQL LOWER/LIKE. The engine's mandate (BASELINE.json input_hint) is that any
+text normalization / event decoding runs **vectorized** — Arrow-batched
+pandas UDFs — never row-at-a-time Python.
+
+Two payload-decode paths, fastest first:
+
+- ``decode_payload_json`` — ``F.from_json``: pure JVM, whole-stage codegen;
+  the default.
+- ``decode_payload_pandas`` — an Arrow-batched ``pandas_udf`` doing the same
+  decode in pandas; exists to exercise/benchmark the vectorized-UDF path and
+  as the template for decoders ``from_json`` can't express.
+
+``normalize_text`` needs Python because Spark has no Unicode-NFC builtin;
+``unicodedata.normalize`` is applied per Arrow batch via ``pd.Series.map``
+on the C-backed string array.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+PAYLOAD_SCHEMA = T.StructType(
+    [
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+    ]
+)
+
+
+@F.pandas_udf(T.StringType())
+def normalize_text(s: pd.Series) -> pd.Series:
+    """NFC-normalize + collapse whitespace, one Arrow batch at a time."""
+
+    def _norm(x):
+        if x is None:
+            return None
+        return " ".join(unicodedata.normalize("NFC", x).split())
+
+    return s.map(_norm)
+
+
+def decode_payload_json(df: DataFrame, payload_col: str = "payload",
+                        schema: T.StructType = PAYLOAD_SCHEMA) -> DataFrame:
+    """Decode the JSON change-event payload into typed columns, JVM-side."""
+    decoded = F.from_json(F.col(payload_col), schema)
+    out = df
+    for f in schema.fields:
+        out = out.withColumn(f"{f.name}_decoded", decoded[f.name])
+    return out
+
+
+def make_pandas_json_decoder(field: str) -> Column:
+    """Arrow-batched JSON field extractor (template for custom decoders)."""
+
+    @F.pandas_udf(T.StringType())
+    def _decode(s: pd.Series) -> pd.Series:
+        import json
+
+        def _get(x):
+            if x is None:
+                return None
+            try:
+                return json.loads(x).get(field)
+            except (ValueError, AttributeError):
+                return None
+
+        return s.map(_get)
+
+    return _decode
+
+
+def decode_payload_pandas(df: DataFrame, payload_col: str = "payload",
+                          fields: tuple[str, ...] = ("role", "text", "tool")) -> DataFrame:
+    """Same decode as :func:`decode_payload_json` but through the vectorized
+    pandas-UDF path (one Arrow round trip, batch-at-a-time Python)."""
+    out = df
+    for f in fields:
+        out = out.withColumn(f"{f}_decoded", make_pandas_json_decoder(f)(F.col(payload_col)))
+    return out

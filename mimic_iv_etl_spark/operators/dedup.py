@@ -135,31 +135,39 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,
     """SimHash: per-token 64-bit hash; each output bit is the sign of the
     Σ±1 vote across tokens. Expressed as ``aggregate`` over the token array
     into a bit-vote array — single pass, no explode, no shuffle."""
+    # bit counts for shiftright/shiftleft must be Python ints, so the per-bit
+    # expressions unroll over range(bits) — 64 codegen'd terms, still no UDF.
     votes = F.aggregate(
         F.transform(tokens(text_col), lambda t: F.xxhash64(t)),
         F.array_repeat(F.lit(0).cast("long"), bits),
         lambda acc, h: F.zip_with(
             acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bits - 1)),
-                lambda i: F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
-                .otherwise(-1)
-                .cast("long"),
+            F.array(
+                *[
+                    F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1)
+                    .otherwise(-1)
+                    .cast("long")
+                    for i in range(bits)
+                ]
             ),
             lambda a, v: a + v,
         ),
     )
-    packed = F.aggregate(
-        F.zip_with(
-            votes,
-            F.sequence(F.lit(0), F.lit(bits - 1)).cast("array<long>"),
-            lambda v, i: F.when(v > 0, F.shiftleft(F.lit(1).cast("long"), i.cast("int")))
-            .otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc.bitwiseXOR(x),
+    df = df.withColumn("_votes", votes)
+    packed = reduce(
+        add,
+        [
+            F.when(
+                F.element_at("_votes", i + 1) > 0,
+                # bit 63 is the sign bit: 1<<63 overflows int64, use its
+                # two's-complement value
+                F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            for i in range(bits)
+        ],
     )
-    return df.withColumn(alias, packed)
+    return df.withColumn(alias, packed).drop("_votes")
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -168,20 +176,23 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
-                      text_col: str = "text", max_distance: int = 8,
-                      band_bits: int = 16) -> DataFrame:
-    """Near-dup pairs by simhash: block on each of the 64/band_bits bit-bands
-    (two docs within Hamming distance d share at least one identical band when
-    d < #bands), verify exact Hamming ≤ max_distance within blocks."""
+                      text_col: str = "text", max_distance: int = 7,
+                      band_bits: int = 8) -> DataFrame:
+    """Near-dup pairs by simhash: block on each of the 64/band_bits bit-bands.
+    Pigeonhole: two docs within Hamming distance d share at least one
+    identical band when d < #bands — with the default 8 bands recall is exact
+    for d ≤ 7; verify exact Hamming ≤ max_distance within blocks."""
     n_bands = 64 // band_bits
     s = simhash(df, text_col=text_col).select(F.col(id_col).alias("_id"), "simhash")
     bands = s.select(
         "_id", "simhash",
         F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda i: F.shiftrightunsigned(F.col("simhash"), i * band_bits)
-                .bitwiseAND(F.lit((1 << band_bits) - 1)),
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("simhash"), i * band_bits)
+                    .bitwiseAND(F.lit((1 << band_bits) - 1))
+                    for i in range(n_bands)
+                ]
             )
         ).alias("band", "band_val"),
     )

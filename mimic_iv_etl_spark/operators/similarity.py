@@ -79,7 +79,10 @@ def hyperplane_signature(df: DataFrame, vec_col: str = "embedding",
     plane p is a deterministic pseudo-random ±1/±2/... value derived from
     ``xxhash64(seed|p|i)``. Expressed with nested higher-order functions —
     per-row cost O(n_planes × dim), no Python, no shuffle."""
-    sig = F.aggregate(
+    from functools import reduce
+    from operator import add
+
+    dots = F.aggregate(
         F.zip_with(
             F.col(vec_col).cast("array<double>"),
             F.sequence(F.lit(0), F.size(vec_col) - 1),
@@ -105,19 +108,17 @@ def hyperplane_signature(df: DataFrame, vec_col: str = "embedding",
                 / 499.5
             ),
         ),
-        lambda acc: F.aggregate(
-            F.zip_with(
-                acc,
-                F.sequence(F.lit(0), F.lit(n_planes - 1)),
-                lambda a, p: F.when(
-                    a > 0, F.shiftleft(F.lit(1).cast("long"), p.cast("int"))
-                ).otherwise(F.lit(0).cast("long")),
-            ),
-            F.lit(0).cast("long"),
-            lambda s, x: s.bitwiseXOR(x),
-        ),
     )
-    return df.withColumn(alias, sig)
+    df = df.withColumn("_dots", dots)
+    packed = reduce(
+        add,
+        [
+            F.when(F.element_at("_dots", p + 1) > 0, F.lit(1 << p).cast("long"))
+            .otherwise(F.lit(0).cast("long"))
+            for p in range(n_planes)
+        ],
+    )
+    return df.withColumn(alias, packed).drop("_dots")
 
 
 def lsh_bucketed_topk(df: DataFrame, queries: DataFrame, k: int = 10,

@@ -87,8 +87,9 @@ def language_id(df: DataFrame, text_col: str = "text",
         for lang, words in sorted(LANG_PROFILES.items())
     ]
     best = reduce(
-        lambda acc, s: F.when(s[1] > acc[1], F.struct(F.lit(s[0]).alias("l"), s[1].alias("n")))
-        .otherwise(acc),
+        lambda acc, s: F.when(
+            s[1] > acc["n"], F.struct(F.lit(s[0]).alias("l"), s[1].alias("n"))
+        ).otherwise(acc),
         scores[1:],
         F.struct(F.lit(scores[0][0]).alias("l"), scores[0][1].alias("n")),
     )

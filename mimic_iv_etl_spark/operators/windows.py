@@ -86,11 +86,13 @@ def as_of_carry(df: DataFrame, key_cols: Sequence[str],
     """As-of lookup inside one stream: for each row, the most recent prior
     ``value_col`` among rows matching ``cond`` in the same key, in
     ``order_cols`` order (J9 gap in the reference — as-of logic only ever via
-    ad-hoc windows). Running ``max(when(cond, value))`` over an
+    ad-hoc windows). ``last(when(cond, value), ignorenulls)`` over an
     unbounded-preceding frame: one shuffle, no self-join."""
     w = (
         Window.partitionBy(*key_cols)
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return df.withColumn(alias, F.max(F.when(cond, F.col(value_col))).over(w))
+    return df.withColumn(
+        alias, F.last(F.when(cond, F.col(value_col)), ignorenulls=True).over(w)
+    )

@@ -1,0 +1,605 @@
+"""Query registry: every implemented operator exposed as a (Spark query,
+DuckDB oracle SQL) pair over the driver testdata tables.
+
+This is the correctness gate's single source of truth: ``__spark_entry__``'s
+``queries()``/``oracle_sql()`` are generated from :data:`REGISTRY`, so a Spark
+implementation and its ANSI-SQL oracle can never drift apart silently.
+Entries with ``oracle=None`` are non-SQL-expressible (hash-based LSH candidate
+generation, the full CDC engine) and get the driver's rows-only check.
+
+Column-name discipline: every computed column is aliased identically on both
+sides (the driver sorts columns by name before value-hashing).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from mimic_iv_etl_spark.lake.merge import lww_reduce
+from mimic_iv_etl_spark.operators import dedup, labeling, relational, similarity, text, windows
+from mimic_iv_etl_spark.plans import QueryBuilder
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+@dataclass
+class Entry:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    doc: str = ""
+
+
+# --------------------------------------------------------------------------
+# Reference-parity analytics (SURVEY.md §2 operator inventory)
+# --------------------------------------------------------------------------
+
+def q_frequency(spark, sf):
+    """A1 — analysis_utils.py:34-39."""
+    return relational.item_frequency(_t(spark, sf, "events"), "event_type")
+
+
+def q_conditional_count(spark, sf):
+    """A2 — feature_engineering.py:21-24."""
+    ev = _t(spark, sf, "events")
+    return relational.conditional_count(
+        ev, ["user_id"], F.col("event_type") == "click", alias="click_count"
+    )
+
+
+def q_total_count(spark, sf):
+    """A3 — feature_engineering.py:27-31."""
+    return relational.total_count(_t(spark, sf, "events"), ["user_id"])
+
+
+def q_existence_flag(spark, sf):
+    """A4 — feature_engineering.py:53-54."""
+    return relational.existence_flag(
+        _t(spark, sf, "events"), ["user_id"],
+        F.col("event_type") == "purchase", alias="purchase_flag",
+    )
+
+
+def q_group_stats(spark, sf):
+    """A5 — feature_engineering.py:131-151 (exact percentile, fixed imports)."""
+    out = relational.group_statistics(_t(spark, sf, "events"), ["user_id"], "value")
+    return out.select(
+        "user_id",
+        F.round("value_mean", 4).alias("value_mean"),
+        F.round("value_stddev", 4).alias("value_stddev"),
+        F.round("value_median", 4).alias("value_median"),
+    )
+
+
+def q_union_tag(spark, sf):
+    """A7/SET1 — analysis_utils.py:138-148."""
+    return relational.activity_union(
+        {"events": _t(spark, sf, "events"), "orders": _t(spark, sf, "orders")},
+        {"events": "event_type", "orders": "o_orderstatus"},
+    )
+
+
+def q_cooccurrence_ratio(spark, sf):
+    """A8+W2 — analysis_utils.py:172-182 (QUALIFY replaced by window+filter)."""
+    out = relational.cooccurrence_ratio(
+        _t(spark, sf, "orders"), "o_orderpriority", "o_orderstatus", threshold=0.2
+    )
+    return out.select("o_orderpriority", "o_orderstatus", "frequency",
+                      F.round("ratio", 6).alias("ratio"))
+
+
+def q_cumulative_prior_count(spark, sf):
+    """W1 — feature_engineering.py:79-88 (+ total-order tiebreak)."""
+    out = windows.cumulative_prior_count(
+        _t(spark, sf, "events"), ["user_id"], ["ts", "event_id"]
+    )
+    return out.select("event_id", "user_id", "prior_events")
+
+
+def q_within_timeframe(spark, sf):
+    """W3 — feature_engineering.py:104-123 (readmission-style lead flag)."""
+    out = windows.event_within_timeframe(
+        _t(spark, sf, "events"), ["user_id"], "ts", ["ts", "event_id"], days=7
+    )
+    return out.select("event_id", "user_id", "days_to_next", "within_7d")
+
+
+def q_latest_per_key(spark, sf):
+    """J7/W4 — feature_engineering.py:238-240 (the LWW kernel)."""
+    out = windows.latest_record_per_key(
+        _t(spark, sf, "events"), ["user_id"], ["ts", "event_id"]
+    )
+    return out.select("user_id", "event_id", "event_type", "value", "ts")
+
+
+def q_lww_state(spark, sf):
+    """CDC LWW dedup kernel on a composite key — SURVEY.md §4.3 item 2."""
+    out = lww_reduce(_t(spark, sf, "events"), ["user_id", "event_type"],
+                     stamp_cols=("ts", "event_id"), mode="agg")
+    return out.select("user_id", "event_type", "event_id", "value", "ts")
+
+
+def q_topk_per_group(spark, sf):
+    """L3 extension — top-k per group."""
+    out = windows.top_k_per_group(
+        _t(spark, sf, "events"), ["event_type"], ["value", "event_id"], k=3
+    )
+    return out.select("event_type", "event_id", "value")
+
+
+def q_as_of_carry(spark, sf):
+    """J9 gap — as-of carry of most recent prior purchase value."""
+    out = windows.as_of_carry(
+        _t(spark, sf, "events"), ["user_id"], ["ts", "event_id"], "value",
+        F.col("event_type") == "purchase", alias="last_purchase_value",
+    )
+    return out.select("event_id", "user_id", "last_purchase_value")
+
+
+def q_builder_join(spark, sf):
+    """J1/P1-P4 — query_builder.py:31-110, typed rebuild."""
+    orders = QueryBuilder(
+        _t(spark, sf, "orders"),
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+        filters=["o_totalprice > 150000"],
+    )
+    cust = QueryBuilder(
+        _t(spark, sf, "customer").withColumnRenamed("c_custkey", "o_custkey"),
+        columns=["c_name"],
+        filters=["c_acctbal > 0"],
+    )
+    return orders.join_with(cust, "inner", ["o_custkey"]).build()
+
+
+def q_semi_join(spark, sf):
+    """J8 — driver-collected IN-lists replaced by left_semi join."""
+    li = _t(spark, sf, "lineitem")
+    urgent = _t(spark, sf, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    out = relational.semi_join_keys(li, urgent.select(F.col("o_orderkey").alias("l_orderkey")),
+                                    ["l_orderkey"])
+    return out.select("l_orderkey", "l_linenumber", "l_quantity")
+
+
+def q_phenotype_rules(spark, sf):
+    """P10 — phenotyping_engine.py:27-60 (ordered rules, first match wins)."""
+    out = labeling.apply_rules(
+        _t(spark, sf, "customer"),
+        [{"label": "CASE", "conditions": "c_acctbal > 9000"},
+         {"label": "CONTROL", "conditions": "c_mktsegment = 'BUILDING'"}],
+    )
+    return out.select("c_custkey", "label")
+
+
+def q_rule_score(spark, sf):
+    """P11/P12 — feature_engineering.py:167-217."""
+    out = labeling.rule_score(
+        _t(spark, sf, "lineitem"),
+        [("l_quantity > 30", 2), ("l_discount > 0.05", 1), ("l_tax > 0.04", 1)],
+    )
+    return out.select("l_orderkey", "l_linenumber", "score")
+
+
+def q_out_of_range(spark, sf):
+    """P5 — analysis_utils.py:99-110."""
+    out = relational.value_out_of_range(_t(spark, sf, "lineitem"), "l_quantity", 5, 45)
+    return out.select("l_orderkey", "l_linenumber", "out_of_range")
+
+
+def q_string_match(spark, sf):
+    """P6 — analysis_utils.py:340-358."""
+    out = relational.string_match(_t(spark, sf, "part"), "p_name", "red", "contains")
+    return out.select("p_partkey", "p_name")
+
+
+# --------------------------------------------------------------------------
+# TPC-H-style headliners (bench workload; A-group heavy aggregation)
+# --------------------------------------------------------------------------
+
+def q_tpch_q1(spark, sf):
+    """Pricing summary (guide: common OLAP pattern; exercises partial agg)."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
+    # sums accumulate in DECIMAL: exact, order-independent — double sums differ
+    # in the last bits between engines (and between shuffle plans)
+    dec = "decimal(28,6)"
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
+        F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sum_base_price"),
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast(dec))
+            .cast("double"), 4
+        ).alias("sum_disc_price"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+def q_order_revenue(spark, sf):
+    """Join-heavy revenue rollup (orders ⋈ lineitem ⋈ customer)."""
+    li = _t(spark, sf, "lineitem")
+    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1997-01-01")
+    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount")))
+                      .cast("decimal(28,6)")).cast("double"), 4
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-data operators (dedup / similarity / text analysis)
+# --------------------------------------------------------------------------
+
+def q_exact_dedup(spark, sf):
+    out = dedup.exact_dedup(_t(spark, sf, "documents"))
+    return out.select("doc_id", "dup_count")
+
+
+def q_fingerprint(spark, sf):
+    return text.fingerprint(_t(spark, sf, "documents")).select("doc_id", "fingerprint")
+
+
+def q_token_count(spark, sf):
+    return text.token_count(_t(spark, sf, "documents")).select("doc_id", "n_tokens")
+
+
+def q_lang_id(spark, sf):
+    return text.language_id(_t(spark, sf, "documents")).select("doc_id", "lang_pred")
+
+
+def q_quality_score(spark, sf):
+    return text.quality_score(_t(spark, sf, "documents")).select("doc_id", "quality")
+
+
+def q_ngram_jaccard_pairs(spark, sf):
+    """Exact 3-gram Jaccard over all doc pairs ≥ 0.15 (verification kernel of
+    the MinHash pipeline, run exhaustively at test scale)."""
+    docs = _t(spark, sf, "documents")
+    ids = docs.select(F.col("doc_id").alias("id_a")).crossJoin(
+        docs.select(F.col("doc_id").alias("id_b"))
+    ).filter(F.col("id_a") < F.col("id_b"))
+    out = dedup.ngram_jaccard(docs, ids, n=3)
+    return out.filter(F.col("jaccard") >= 0.15)
+
+
+def q_minhash_near_dups(spark, sf):
+    """MinHash+LSH near-dup pairs (hash-based candidates → rows-only check)."""
+    return dedup.minhash_dedup(_t(spark, sf, "documents"), threshold=0.15,
+                               k=32, bands=16)
+
+
+def q_simhash_near_dups(spark, sf):
+    """SimHash near-dup pairs (hash-based → rows-only check)."""
+    return dedup.simhash_near_dups(_t(spark, sf, "documents"), max_distance=7)
+
+
+def q_cosine_topk(spark, sf):
+    emb = _t(spark, sf, "embeddings")
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+
+
+def q_embedding_near_dups(spark, sf):
+    return similarity.embedding_near_dups(_t(spark, sf, "embeddings"), threshold=0.98)
+
+
+def q_lsh_ann(spark, sf):
+    """LSH-bucketed approximate top-k (approximate → rows-only check)."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.lsh_bucketed_topk(emb, emb.filter(F.col("vec_id") < 20),
+                                        k=5, n_planes=8)
+
+
+# --------------------------------------------------------------------------
+# The CDC engine itself (flagship; non-SQL → rows-only check)
+# --------------------------------------------------------------------------
+
+def q_cdc_replay(spark, sf):
+    """Full engine: seeded change log → replay (LWW dedup, exactly-once,
+    schema evolution) → final transcript state. Log size scales with sf dir
+    (events table rows) so the driver exercises real work at each sf."""
+    import tempfile
+
+    from mimic_iv_etl_spark.cdc.changelog import ChangeLogSpec, generate_change_log
+    from mimic_iv_etl_spark.cdc.replay import replay_log
+    from mimic_iv_etl_spark.lake.table import LakeTable
+    from pyspark.sql import types as T
+
+    n = max(5_000, _t(spark, sf, "events").count())
+    work = os.path.join(tempfile.gettempdir(), f"spark_graft_cdc_{n}")
+    log_dir = os.path.join(work, "log")
+    table_dir = os.path.join(work, "table")
+    if not os.path.exists(os.path.join(log_dir, "manifest.json")):
+        generate_change_log(log_dir, ChangeLogSpec(n_events=n, n_convs=max(100, n // 20),
+                                                   seed=42, evolve_at=0.8))
+    schema = T.StructType([
+        T.StructField("conv_id", T.StringType(), False),
+        T.StructField("turn_idx", T.IntegerType(), False),
+        T.StructField("role", T.StringType(), True),
+        T.StructField("text", T.StringType(), True),
+        T.StructField("tool", T.StringType(), True),
+        T.StructField("ts", T.TimestampNTZType(), False),
+    ])
+    if not LakeTable.exists(table_dir):
+        replay_log(spark, log_dir, table_dir, schema=schema,
+                   batch_offsets=max(2_000, n // 4), n_buckets=16)
+    return LakeTable(spark, table_dir).read()
+
+
+# --------------------------------------------------------------------------
+# Oracle SQL (DuckDB dialect-compatible ANSI)
+# --------------------------------------------------------------------------
+
+_NORM_TEXT = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
+_WORDS = "string_split_regex(trim(text), '\\s+')"
+
+_LANG_SCORES = """
+    len(list_intersect(list_distinct({w}), ['der','die','das','und','ist','nicht','ein','zu'])) s_de,
+    len(list_intersect(list_distinct({w}), ['the','a','of','and','to','in','is','that'])) s_en,
+    len(list_intersect(list_distinct({w}), ['el','la','de','que','y','en','un','es'])) s_es,
+    len(list_intersect(list_distinct({w}), ['le','la','et','les','des','un','une','est'])) s_fr
+""".format(w=_WORDS)
+
+REGISTRY: dict[str, Entry] = {
+    "frequency": Entry(
+        q_frequency,
+        "SELECT event_type, count(*) AS frequency FROM events GROUP BY event_type",
+    ),
+    "conditional_count": Entry(
+        q_conditional_count,
+        "SELECT user_id, sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+        "AS click_count FROM events GROUP BY user_id",
+    ),
+    "total_count": Entry(
+        q_total_count,
+        "SELECT user_id, count(*) AS total_count FROM events GROUP BY user_id",
+    ),
+    "existence_flag": Entry(
+        q_existence_flag,
+        "SELECT user_id, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) "
+        "AS purchase_flag FROM events GROUP BY user_id",
+    ),
+    "group_stats": Entry(
+        q_group_stats,
+        "SELECT user_id, round(avg(value), 4) AS value_mean, "
+        "round(stddev(value), 4) AS value_stddev, "
+        "round(quantile_cont(value, 0.5), 4) AS value_median "
+        "FROM events GROUP BY user_id",
+    ),
+    "union_tag": Entry(
+        q_union_tag,
+        "SELECT event_type AS activity, count(*) AS frequency, 'events' AS dataset "
+        "FROM events GROUP BY event_type "
+        "UNION ALL SELECT o_orderstatus AS activity, count(*) AS frequency, "
+        "'orders' AS dataset FROM orders GROUP BY o_orderstatus",
+    ),
+    "cooccurrence_ratio": Entry(
+        q_cooccurrence_ratio,
+        """
+        WITH p AS (SELECT o_orderpriority, o_orderstatus, count(*) AS frequency
+                   FROM orders GROUP BY 1, 2)
+        SELECT o_orderpriority, o_orderstatus, frequency,
+               round(frequency / sum(frequency) OVER (PARTITION BY o_orderpriority), 6) AS ratio
+        FROM p QUALIFY frequency / sum(frequency) OVER (PARTITION BY o_orderpriority) >= 0.2
+        """,
+    ),
+    "cumulative_prior_count": Entry(
+        q_cumulative_prior_count,
+        "SELECT event_id, user_id, count(*) OVER (PARTITION BY user_id "
+        "ORDER BY ts, event_id) - 1 AS prior_events FROM events",
+    ),
+    "within_timeframe": Entry(
+        q_within_timeframe,
+        """
+        SELECT event_id, user_id,
+               date_diff('day', ts::date, nxt::date) AS days_to_next,
+               CASE WHEN nxt IS NOT NULL
+                         AND date_diff('day', ts::date, nxt::date) <= 7
+                    THEN 1 ELSE 0 END AS within_7d
+        FROM (SELECT *, lead(ts, 1) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id) AS nxt
+              FROM events)
+        """,
+    ),
+    "latest_per_key": Entry(
+        q_latest_per_key,
+        "SELECT user_id, event_id, event_type, value, ts FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1",
+    ),
+    "lww_state": Entry(
+        q_lww_state,
+        "SELECT user_id, event_type, event_id, value, ts FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY user_id, event_type "
+        "ORDER BY ts DESC, event_id DESC) AS rn FROM events) WHERE rn = 1",
+    ),
+    "topk_per_group": Entry(
+        q_topk_per_group,
+        "SELECT event_type, event_id, value FROM ("
+        "SELECT *, row_number() OVER (PARTITION BY event_type "
+        "ORDER BY value DESC, event_id DESC) AS rn FROM events) WHERE rn <= 3",
+    ),
+    "as_of_carry": Entry(
+        q_as_of_carry,
+        "SELECT event_id, user_id, last_value("
+        "CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS) "
+        "OVER (PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS last_purchase_value FROM events",
+    ),
+    "builder_join": Entry(
+        q_builder_join,
+        "SELECT o_orderkey, o_custkey, o_totalprice, c_name FROM orders "
+        "JOIN customer ON o_custkey = c_custkey "
+        "WHERE o_totalprice > 150000 AND c_acctbal > 0",
+    ),
+    "semi_join": Entry(
+        q_semi_join,
+        "SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem "
+        "WHERE l_orderkey IN (SELECT o_orderkey FROM orders "
+        "WHERE o_orderpriority = '1-URGENT')",
+    ),
+    "phenotype_rules": Entry(
+        q_phenotype_rules,
+        "SELECT c_custkey, CASE WHEN c_acctbal > 9000 THEN 'CASE' "
+        "WHEN c_mktsegment = 'BUILDING' THEN 'CONTROL' ELSE 'OTHER' END AS label "
+        "FROM customer",
+    ),
+    "rule_score": Entry(
+        q_rule_score,
+        "SELECT l_orderkey, l_linenumber, "
+        "(CASE WHEN l_quantity > 30 THEN 2 ELSE 0 END + "
+        "CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END + "
+        "CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS score FROM lineitem",
+    ),
+    "out_of_range": Entry(
+        q_out_of_range,
+        "SELECT l_orderkey, l_linenumber, CASE WHEN l_quantity < 5 OR "
+        "l_quantity > 45 THEN 1 ELSE 0 END AS out_of_range FROM lineitem",
+    ),
+    "string_match": Entry(
+        q_string_match,
+        "SELECT p_partkey, p_name FROM part WHERE lower(p_name) LIKE '%red%'",
+    ),
+    "tpch_q1": Entry(
+        q_tpch_q1,
+        """
+        SELECT l_returnflag, l_linestatus,
+               sum(l_quantity::DECIMAL(28,6))::DOUBLE AS sum_qty,
+               sum(l_extendedprice::DECIMAL(28,6))::DOUBLE AS sum_base_price,
+               round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,6))::DOUBLE, 4)
+                   AS sum_disc_price,
+               round(avg(l_quantity), 4) AS avg_qty,
+               round(avg(l_discount), 6) AS avg_disc,
+               count(*) AS count_order
+        FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        GROUP BY l_returnflag, l_linestatus
+        """,
+    ),
+    "order_revenue": Entry(
+        q_order_revenue,
+        """
+        SELECT l_orderkey,
+               round(sum((l_extendedprice * (1 - l_discount))::DECIMAL(28,6))::DOUBLE, 4)
+                   AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND c_mktsegment = 'BUILDING'
+        GROUP BY l_orderkey
+        """,
+    ),
+    "exact_dedup": Entry(
+        q_exact_dedup,
+        f"SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents "
+        f"GROUP BY {_NORM_TEXT}",
+    ),
+    "fingerprint": Entry(
+        q_fingerprint,
+        f"SELECT doc_id, md5({_NORM_TEXT}) AS fingerprint FROM documents",
+    ),
+    "token_count": Entry(
+        q_token_count,
+        f"SELECT doc_id, CASE WHEN trim(text) = '' THEN 0 ELSE len({_WORDS}) END "
+        "AS n_tokens FROM documents",
+    ),
+    "lang_id": Entry(
+        q_lang_id,
+        f"""
+        SELECT doc_id,
+               CASE WHEN greatest(s_de, s_en, s_es, s_fr) = 0 THEN 'unknown'
+                    WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr THEN 'de'
+                    WHEN s_en >= s_es AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_fr THEN 'es'
+                    ELSE 'fr' END AS lang_pred
+        FROM (SELECT doc_id, {_LANG_SCORES} FROM documents)
+        """,
+    ),
+    "quality_score": Entry(
+        q_quality_score,
+        f"""
+        SELECT doc_id, round((
+            least(length(text) / 500.0, 1.0)
+          + CASE WHEN length(text) > 0 THEN
+                length(regexp_replace(text, '[^A-Za-zÀ-ɏ]', '', 'g'))::DOUBLE / length(text)
+            ELSE 0 END
+          + least(len(list_intersect(list_distinct({_WORDS}),
+                ['the','a','of','and','to','in','is','that'])) / 4.0, 1.0)
+          + CASE WHEN trim(text) <> '' THEN
+                len(list_distinct({_WORDS}))::DOUBLE / len({_WORDS})
+            ELSE 0 END
+        ) / 4, 6) AS quality FROM documents
+        """,
+    ),
+    "ngram_jaccard_pairs": Entry(
+        q_ngram_jaccard_pairs,
+        f"""
+        WITH sh AS (
+          SELECT doc_id, list_distinct(
+            [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
+          ) AS s
+          FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        )
+        SELECT * FROM (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 round(len(list_intersect(a.s, b.s))::DOUBLE /
+                       len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+          FROM sh a, sh b WHERE a.doc_id < b.doc_id)
+        WHERE jaccard >= 0.15
+        """,
+    ),
+    "cosine_topk": Entry(
+        q_cosine_topk,
+        """
+        WITH q AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                   WHERE vec_id < 10),
+             c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+             s AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                          round(list_cosine_similarity(q.e, c.e), 6) AS cosine
+                   FROM q, c WHERE q.vec_id <> c.vec_id)
+        SELECT query_id, neighbor_id, cosine FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+        WHERE rn <= 5
+        """,
+    ),
+    "embedding_near_dups": Entry(
+        q_embedding_near_dups,
+        """
+        SELECT * FROM (
+          SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                 round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                              b.embedding::DOUBLE[]), 6) AS cosine
+          FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
+        WHERE cosine >= 0.98
+        """,
+    ),
+    # ---- non-SQL-expressible (rows-only driver check) ----
+    "minhash_near_dups": Entry(q_minhash_near_dups, None,
+                               "xxhash64-based LSH candidates"),
+    "simhash_near_dups": Entry(q_simhash_near_dups, None,
+                               "xxhash64-based signatures"),
+    "lsh_ann": Entry(q_lsh_ann, None, "approximate — bucket recall < 1"),
+    "cdc_replay": Entry(q_cdc_replay, None,
+                        "full CDC engine replay; oracle is the pytest suite"),
+}
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: e.fn for name, e in REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}

@@ -1,0 +1,130 @@
+"""Scaling-efficiency evidence (north rule: throughput efficiency ≥ 0.8 from
+N to 4N executors; sandbox stand-in: local[8] vs local[32] on identical input).
+
+Each measurement runs in its OWN subprocess (one JVM per parallelism level —
+Spark can't resize local[N] in-process), replaying the same pre-generated
+change log. Results land in BENCH/BASELINE.md.
+
+Usage:
+    python scripts/bench_scaling.py                 # orchestrate both levels
+    python scripts/bench_scaling.py --measure 8     # one level (internal)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+N_EVENTS = int(os.environ.get("SCALING_EVENTS", "2000000"))
+REPS = int(os.environ.get("SCALING_REPS", "2"))
+LEVELS = (8, 32)
+
+
+def log_dir() -> str:
+    return os.path.join("/tmp", f"scaling_cdc_log_{N_EVENTS}")
+
+
+def ensure_log() -> None:
+    from mimic_iv_etl_spark.cdc.changelog import ChangeLogSpec, generate_change_log
+
+    if not os.path.exists(os.path.join(log_dir(), "manifest.json")):
+        generate_change_log(
+            log_dir(),
+            ChangeLogSpec(
+                n_events=N_EVENTS,
+                n_convs=max(1_000, N_EVENTS // 20),
+                n_partitions=8,
+                seed=42,
+                payload=False,
+                files_per_tranche=32,
+            ),
+        )
+
+
+def measure(cpus: int) -> dict:
+    import shutil
+
+    from mimic_iv_etl_spark.cdc.replay import replay_log
+    from mimic_iv_etl_spark.session import get_spark_session
+    from pyspark.sql import types as T
+
+    spark = get_spark_session(
+        app_name=f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+    )
+    schema = T.StructType(
+        [
+            T.StructField("conv_id", T.StringType(), False),
+            T.StructField("turn_idx", T.IntegerType(), False),
+            T.StructField("role", T.StringType(), True),
+            T.StructField("text", T.StringType(), True),
+            T.StructField("tool", T.StringType(), True),
+            T.StructField("ts", T.TimestampNTZType(), False),
+        ]
+    )
+    best = None
+    for _ in range(REPS):
+        table_dir = f"/tmp/scaling_cdc_table_{cpus}_{os.getpid()}_{time.time_ns()}"
+        out = replay_log(
+            spark,
+            log_dir(),
+            table_dir,
+            schema=schema,
+            batch_offsets=max(50_000, N_EVENTS // 8),
+            n_buckets=cpus,
+        )
+        shutil.rmtree(table_dir, ignore_errors=True)
+        if best is None or out["events_per_sec"] > best["events_per_sec"]:
+            best = out
+    return {"cpus": cpus, **{k: best[k] for k in ("events_applied", "seconds", "events_per_sec")}}
+
+
+def orchestrate() -> None:
+    ensure_log()
+    results = {}
+    for cpus in LEVELS:
+        env = dict(os.environ)
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--measure", str(cpus)],
+            capture_output=True, text=True, env=env, cwd=REPO,
+        )
+        line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+        if not line:
+            sys.stderr.write(p.stdout + p.stderr)
+            raise RuntimeError(f"measurement at local[{cpus}] produced no JSON")
+        results[cpus] = json.loads(line[-1])
+
+    lo, hi = LEVELS
+    eff = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / (hi / lo)
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    with open(md, "w") as f:
+        f.write(
+            "# BENCH/BASELINE — CDC replay throughput & scaling efficiency\n\n"
+            f"Input: deterministic seeded change log, {N_EVENTS:,} events, 8 source\n"
+            "partitions, seed 42 (identical files at both levels). Measurement:\n"
+            "apply-loop wall time only (fixture generation excluded), best of\n"
+            f"{REPS} repetitions per level, shuffle partitions = core count.\n"
+            "Sandbox stand-in for N vs 4N executors per BASELINE.md protocol.\n\n"
+            "| config | events | seconds | events/sec |\n|---|---|---|---|\n"
+            + "".join(
+                f"| local[{c}] | {r['events_applied']:,} | {r['seconds']:.2f} | "
+                f"{r['events_per_sec']:,.0f} |\n"
+                for c, r in results.items()
+            )
+            + f"\nScaling efficiency (N→4N) = (tput_{hi} / tput_{lo}) / {hi // lo} = "
+            f"**{eff:.3f}** (criterion ≥ 0.8)\n"
+        )
+    print(json.dumps({"results": results, "efficiency": round(eff, 4)}))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--measure":
+        print(json.dumps(measure(int(sys.argv[2]))))
+    else:
+        orchestrate()

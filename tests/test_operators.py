@@ -1,0 +1,358 @@
+"""Operator-library tests: reference-parity semantics pinned on testdata
+(sf0.001) and hand-built frames, cross-checked against DuckDB where cheap."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from mimic_iv_etl_spark.functions import (
+    decode_payload_json,
+    decode_payload_pandas,
+    normalize_text,
+)
+from mimic_iv_etl_spark.operators import dedup, labeling, multimodal, relational
+from mimic_iv_etl_spark.operators import similarity, text, windows
+from mimic_iv_etl_spark.plans import QueryBuilder
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF}/events.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _duck(sql):
+    con = duckdb.connect()
+    for t in ("events", "documents", "orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+    return con.execute(sql).fetchall()
+
+
+# ---------------------------------------------------------------- relational
+
+def test_item_frequency(events):
+    got = {r["event_type"]: r["frequency"]
+           for r in relational.item_frequency(events, "event_type").collect()}
+    want = dict(_duck("SELECT event_type, count(*) FROM events GROUP BY 1"))
+    assert got == want
+
+
+def test_conditional_and_total_count(events):
+    et = events.limit(0).columns  # touch schema
+    first_type = events.select("event_type").orderBy("event_type").first()[0]
+    got = relational.conditional_count(
+        events, ["user_id"], F.col("event_type") == first_type
+    )
+    want = dict(_duck(
+        f"SELECT user_id, sum(CASE WHEN event_type='{first_type}' THEN 1 ELSE 0 END) "
+        "FROM events GROUP BY 1"
+    ))
+    assert {r["user_id"]: r["event_count"] for r in got.collect()} == want
+
+    tot = relational.total_count(events, ["user_id"])
+    want_tot = dict(_duck("SELECT user_id, count(*) FROM events GROUP BY 1"))
+    assert {r["user_id"]: r["total_count"] for r in tot.collect()} == want_tot
+
+
+def test_cooccurrence_ratio(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    got = relational.cooccurrence_ratio(orders, "o_orderpriority", "o_orderstatus", 0.2)
+    want = _duck("""
+        WITH p AS (SELECT o_orderpriority, o_orderstatus, count(*) freq
+                   FROM orders GROUP BY 1,2)
+        SELECT o_orderpriority, o_orderstatus, freq,
+               freq / sum(freq) OVER (PARTITION BY o_orderpriority) ratio
+        FROM p QUALIFY ratio >= 0.2
+    """)
+    got_set = {(r["o_orderpriority"], r["o_orderstatus"], r["frequency"],
+                round(r["ratio"], 9)) for r in got.collect()}
+    want_set = {(a, b, c, round(d, 9)) for a, b, c, d in want}
+    assert got_set == want_set
+
+
+def test_string_match_and_semi_join(spark, docs):
+    m = relational.string_match(docs, "text", "MERGE", mode="contains")
+    n_want = _duck("SELECT count(*) FROM documents WHERE lower(text) LIKE '%merge%'")[0][0]
+    assert m.count() == n_want
+    with pytest.raises(ValueError):
+        relational.string_match(docs, "text", "x", mode="nope")
+
+    keys = docs.filter(F.col("lang") == "en").select("doc_id")
+    semi = relational.semi_join_keys(docs, keys, ["doc_id"])
+    assert semi.count() == keys.count()
+
+
+def test_activity_union(spark, events):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    out = relational.activity_union(
+        {"events": events, "orders": orders},
+        {"events": "event_type", "orders": "o_orderstatus"},
+    )
+    assert set(out.columns) == {"activity", "frequency", "dataset"}
+    assert out.filter(F.col("dataset") == "orders").count() == \
+        _duck("SELECT count(DISTINCT o_orderstatus) FROM orders")[0][0]
+
+
+# ------------------------------------------------------------------ windows
+
+def test_cumulative_prior_count(events):
+    got = windows.cumulative_prior_count(
+        events, ["user_id"], ["ts", "event_id"]
+    ).filter(F.col("prior_events") >= 0)
+    # spot-check: per user, prior_events of the earliest row is 0, max = n-1
+    agg = got.groupBy("user_id").agg(
+        F.min("prior_events").alias("mn"), F.max("prior_events").alias("mx"),
+        F.count("*").alias("n")
+    ).collect()
+    for r in agg:
+        assert r["mn"] == 0 and r["mx"] == r["n"] - 1
+
+
+def test_event_within_timeframe(spark):
+    rows = [(1, "2026-01-01"), (1, "2026-01-05"), (1, "2026-03-01"), (2, "2026-01-01")]
+    df = spark.createDataFrame(rows, "uid int, d string").select(
+        "uid", F.col("d").cast("timestamp_ntz").alias("ts")
+    )
+    out = windows.event_within_timeframe(df, ["uid"], "ts", ["ts"], days=7)
+    got = {(r["uid"], str(r["ts"])[:10]): r["within_7d"] for r in out.collect()}
+    assert got == {(1, "2026-01-01"): 1, (1, "2026-01-05"): 0,
+                   (1, "2026-03-01"): 0, (2, "2026-01-01"): 0}
+
+
+def test_latest_record_per_key_and_topk(events):
+    latest = windows.latest_record_per_key(events, ["user_id"], ["ts", "event_id"])
+    assert latest.count() == events.select("user_id").distinct().count()
+    want = dict(_duck(
+        "SELECT user_id, event_id FROM (SELECT user_id, event_id, row_number() "
+        "OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) rn "
+        "FROM events) WHERE rn = 1"
+    ))
+    got = {r["user_id"]: r["event_id"] for r in latest.collect()}
+    assert got == want
+
+    top3 = windows.top_k_per_group(events, ["user_id"], ["value", "event_id"], 3)
+    sizes = top3.groupBy("user_id").count().agg(F.max("count")).collect()[0][0]
+    assert sizes <= 3
+
+
+def test_as_of_carry(spark):
+    rows = [(1, 1, "p", 30.0), (1, 2, "c", 0.0), (1, 3, "c", 0.0),
+            (1, 4, "p", 20.0), (1, 5, "c", 0.0), (2, 1, "c", 0.0)]
+    df = spark.createDataFrame(rows, "uid int, seq int, typ string, v double")
+    out = windows.as_of_carry(df, ["uid"], ["seq"], "v",
+                              F.col("typ") == "p", alias="last_p")
+    got = {(r["uid"], r["seq"]): r["last_p"] for r in out.collect()}
+    # most-recent prior 'p', not max: seq 5 sees 20.0 even though 30.0 > 20.0
+    assert got[(1, 2)] == 30.0 and got[(1, 3)] == 30.0 and got[(1, 5)] == 20.0
+    assert got[(2, 1)] is None
+
+
+# ----------------------------------------------------------------- labeling
+
+def test_apply_rules_order_matters(spark):
+    df = spark.createDataFrame([(5,), (15,), (50,)], "x int")
+    rules = [{"label": "CASE", "conditions": "x > 40"},
+             {"label": "CONTROL", "conditions": "x > 10"}]
+    got = {r["x"]: r["label"] for r in labeling.apply_rules(df, rules).collect()}
+    assert got == {5: "OTHER", 15: "CONTROL", 50: "CASE"}
+
+
+def test_rule_score_and_composite(spark):
+    df = spark.createDataFrame([(70, 1), (30, 0)], "age int, flag int")
+    scored = labeling.rule_score(df, [("age >= 65", 2), ("flag = 1", 3)])
+    got = {r["age"]: r["score"] for r in scored.collect()}
+    assert got == {70: 5, 30: 0}
+
+    comp = labeling.composite_score(
+        df, {"age": lambda c: (c / 10).cast("int"), "flag": lambda c: c * 2},
+        adjustments=[lambda d: F.when(F.col("age") > 60, 1).otherwise(0)],
+    )
+    got2 = {r["age"]: r["composite_score"] for r in comp.collect()}
+    assert got2 == {70: 7 + 2 + 1, 30: 3 + 0 + 0}
+
+
+def test_conditional_feature_sql_string(spark):
+    df = spark.createDataFrame([(900.0,), (100.0,)], "v double")
+    out = labeling.conditional_feature(df, "v > 500", "high")
+    assert {r["v"]: r["high"] for r in out.collect()} == {900.0: 1, 100.0: 0}
+
+
+# ------------------------------------------------------------------ builder
+
+def test_query_builder_join_merges_state(spark):
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    qb = QueryBuilder(orders, columns=["o_orderkey", "o_custkey", "o_totalprice"],
+                      filters=["o_totalprice > 100000"])
+    qb2 = QueryBuilder(cust.withColumnRenamed("c_custkey", "o_custkey"),
+                       columns=["c_name"], filters=["c_acctbal > 0"])
+    out = qb.join_with(qb2, "inner", ["o_custkey"]).build(limit=50)
+    assert out.columns == ["o_orderkey", "o_custkey", "o_totalprice", "c_name"]
+    assert 0 < out.count() <= 50
+    want = _duck("""
+        SELECT count(*) FROM (
+          SELECT * FROM orders JOIN customer ON o_custkey = c_custkey
+          WHERE o_totalprice > 100000 AND c_acctbal > 0 LIMIT 50)
+    """)[0][0]
+    assert out.count() == want
+
+
+# --------------------------------------------------------------------- text
+
+def test_token_count_and_quality(spark, docs):
+    tc = text.token_count(docs).select("doc_id", "n_tokens")
+    want = dict(_duck(
+        "SELECT doc_id, CASE WHEN trim(text)='' THEN 0 ELSE "
+        "len(string_split_regex(trim(text), '\\s+')) END FROM documents"
+    ))
+    assert {r["doc_id"]: r["n_tokens"] for r in tc.collect()} == want
+
+    q = text.quality_score(docs)
+    vals = [r["quality"] for r in q.collect()]
+    assert all(0.0 <= v <= 1.0 for v in vals)
+
+    empty = spark.createDataFrame([("",), ("  ",)], "text string")
+    assert [r["n_tokens"] for r in text.token_count(empty).collect()] == [0, 0]
+
+
+def test_language_id_deterministic(spark):
+    df = spark.createDataFrame(
+        [("the cat and the dog is here",),
+         ("der hund und die katze ist nicht da",),
+         ("el perro y la casa es un gato",),
+         ("zzz qqq xxx",)],
+        "text string",
+    )
+    got = [r["lang_pred"] for r in text.language_id(df).collect()]
+    assert got == ["en", "de", "es", "unknown"]
+
+
+def test_fingerprint_matches_duckdb(docs):
+    got = dict(
+        text.fingerprint(docs).select("doc_id", "fingerprint").collect()
+    )
+    want = dict(_duck(
+        "SELECT doc_id, md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) "
+        "FROM documents"
+    ))
+    assert got == want
+
+
+# -------------------------------------------------------------------- dedup
+
+def test_exact_dedup(spark):
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a  B "), (3, "c")], "doc_id long, text string"
+    )
+    out = dedup.exact_dedup(df)
+    got = {r["doc_id"]: r["dup_count"] for r in out.collect()}
+    assert got == {1: 2, 3: 1}  # normalized 'a b' == 'a  B ' → rep id 1
+
+
+def test_minhash_dedup_finds_near_dups(spark):
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    df = spark.createDataFrame(
+        [(1, base), (2, base + " extra"), (3, "totally different words here now ok")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.minhash_dedup(df, threshold=0.5, k=32, bands=8)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert all(p in {(1, 2)} or 3 not in p for p in got)
+
+
+def test_simhash_near_dups(spark):
+    base = " ".join(f"w{i}" for i in range(60))
+    df = spark.createDataFrame(
+        [(1, base), (2, base.replace("w5", "q5")), (3, " ".join(f"z{i}" for i in range(60)))],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_near_dups(df, max_distance=7)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 3) not in got and (2, 3) not in got
+
+
+# --------------------------------------------------------------- similarity
+
+def test_cosine_topk_matches_duckdb(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.limit(5)
+    got = similarity.cosine_topk(emb, q, k=3)
+    assert got.groupBy("query_id").count().agg(F.max("count")).collect()[0][0] <= 3
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW e AS SELECT * FROM '{SF}/embeddings.parquet'")
+    want = con.execute("""
+        WITH q AS (SELECT * FROM e ORDER BY vec_id LIMIT 5),
+        s AS (SELECT q.vec_id qid, e.vec_id nid,
+                     round(list_cosine_similarity(q.embedding, e.embedding), 6) cos
+              FROM q, e WHERE q.vec_id <> e.vec_id)
+        SELECT qid, nid FROM (
+          SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos DESC, nid) rn
+          FROM s) WHERE rn <= 3
+    """).fetchall()
+    got_set = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    assert got_set == set(want)
+
+
+def test_lsh_bucketed_topk_runs_and_is_subset_quality(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = similarity.lsh_bucketed_topk(emb, emb.limit(20), k=5, n_planes=6)
+    assert out.count() >= 0  # approximate: may miss; must not error
+    assert set(out.columns) == {"query_id", "neighbor_id", "cosine"}
+
+
+def test_embedding_near_dups(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    out = similarity.embedding_near_dups(emb, threshold=0.99)
+    assert all(r["id_a"] < r["id_b"] for r in out.collect())
+
+
+# --------------------------------------------------------------- multimodal
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthesize_media(spark, n=30)
+    feats = multimodal.decode_media(media, decoder=multimodal.fake_decoder)
+    rows = feats.collect()
+    assert len(rows) == 30
+    assert all(len(r["feature"]) == 8 for r in rows)
+    # deterministic: same input → same features
+    again = multimodal.decode_media(media, decoder=multimodal.fake_decoder).collect()
+    assert sorted(r["content_hash"] for r in rows) == sorted(r["content_hash"] for r in again)
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(media)
+
+    meta = multimodal.media_metadata(media)
+    assert "content" not in meta.columns
+    frames = multimodal.frame_sample_plan(media, every_ms=500)
+    assert frames.filter(F.col("frame_ts_ms") % 500 != 0).count() == 0
+
+
+# ---------------------------------------------------------------- functions
+
+def test_payload_decoders_agree(spark, small_log):
+    d, _, _ = small_log
+    df = spark.read.parquet(f"{d}/tranche-0").limit(500)
+    jvm = decode_payload_json(df).select("offset", "partition", "text_decoded", "role_decoded")
+    pdu = decode_payload_pandas(df).select("offset", "partition", "text_decoded", "role_decoded")
+    assert sorted(map(tuple, jvm.collect())) == sorted(map(tuple, pdu.collect()))
+    # decoded payload reproduces the raw columns
+    chk = decode_payload_json(df).filter(
+        ~(F.col("text_decoded").eqNullSafe(F.col("text")))
+    )
+    assert chk.count() == 0
+
+
+def test_normalize_text_nfc(spark):
+    # NFD 'é' (e + combining acute) vs NFC 'é' normalize to the same string
+    df = spark.createDataFrame([("café  x",), ("café x",)], "t string")
+    out = df.select(normalize_text("t").alias("n")).collect()
+    assert out[0]["n"] == out[1]["n"] == "café x"
