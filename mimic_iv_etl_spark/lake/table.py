@@ -229,6 +229,10 @@ class LakeTable:
                 + list(_internal_schema(public).fields)
             ),
         )
+        # co-locate each bucket in one task before partitionBy: file count per
+        # commit is exactly ≤ n_buckets instead of tasks × buckets tiny files
+        # (file explosion is the classic MoR ingest killer at scale)
+        aligned = aligned.repartition(self.n_buckets, F.col(BUCKET_COL))
         aligned.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
         new_entries: list[dict] = []
         for d in sorted(os.listdir(stage)):

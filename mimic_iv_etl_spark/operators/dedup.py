@@ -48,44 +48,43 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 3,
     nested ``transform`` over a literal seed sequence; the shingle array is
     evaluated once per row.
     """
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(k - 1)),
-        lambda i: F.array_min(
-            F.transform(_shingles(text_col, n),
-                        lambda s: F.xxhash64(F.concat(i.cast("string"), F.lit("|"), s)))
+    max_long = (1 << 63) - 1
+    # ONE traversal of the shingle array, k hashes per shingle; the naive
+    # "transform over seeds, array_min inside" shape re-evaluates the shingle
+    # expression k times per row (Catalyst inlines projections) — 30× slower.
+    sig = F.aggregate(
+        _shingles(text_col, n),
+        F.array_repeat(F.lit(max_long).cast("long"), k),
+        lambda acc, s: F.zip_with(
+            acc,
+            F.array(*[F.xxhash64(F.concat(F.lit(f"{i}|"), s)) for i in range(k)]),
+            lambda a, h: F.least(a, h),
         ),
     )
     return df.withColumn(alias, sig)
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
-                           sig_col: str = "minhash", bands: int = 8) -> DataFrame:
-    """LSH banding: split the signature into ``bands`` bands, hash each band,
-    self-join per (band_id, band_hash) bucket → candidate id pairs (a < b).
-    Shuffle key = band hash (uniform); pair blowup bounded by bucket size."""
-    k = bands  # rows per band derived from signature length at runtime
-    buckets = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.posexplode(
-                F.transform(
-                    F.sequence(F.lit(0), F.lit(bands - 1)),
-                    lambda b: F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.transform(
-                                F.slice(
-                                    F.col(sig_col),
-                                    b * (F.size(F.col(sig_col)) / bands).cast("int") + 1,
-                                    (F.size(F.col(sig_col)) / bands).cast("int"),
-                                ),
-                                lambda x: x.cast("string"),
-                            ),
-                        )
-                    ),
-                )
-            ).alias("band", "band_hash"),
+                           sig_col: str = "minhash", bands: int = 8,
+                           k: int = 32) -> DataFrame:
+    """LSH banding: split the k-wide signature into ``bands`` bands, hash each
+    band, self-join per (band_id, band_hash) bucket → candidate id pairs
+    (a < b). Shuffle key = band hash (uniform); pair blowup bounded by bucket
+    size. Band hashes unroll with literal element indices — no runtime slice."""
+    n_sig = k
+    r = max(1, n_sig // bands)
+    band_cols = [
+        F.xxhash64(
+            F.concat_ws(
+                ",", *[F.element_at(F.col(sig_col), j + 1).cast("string")
+                       for j in range(b * r, min((b + 1) * r, n_sig))]
+            )
         )
+        for b in range(bands)
+    ]
+    buckets = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.array(*band_cols)).alias("band", "band_hash"),
     )
     a = buckets.alias("a")
     b = buckets.alias("b")
@@ -124,7 +123,7 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     """End-to-end near-dup pair detection: minhash → LSH buckets → verified
     Jaccard ≥ threshold."""
     sigs = minhash_signature(df, text_col=text_col, n=n, k=k)
-    cands = minhash_lsh_candidates(sigs, id_col=id_col, bands=bands)
+    cands = minhash_lsh_candidates(sigs, id_col=id_col, bands=bands, k=k)
     return ngram_jaccard(df, cands, id_col=id_col, text_col=text_col, n=n).filter(
         F.col("jaccard") >= threshold
     )

@@ -276,8 +276,8 @@ def q_ngram_jaccard_pairs(spark, sf):
 
 def q_minhash_near_dups(spark, sf):
     """MinHash+LSH near-dup pairs (hash-based candidates → rows-only check)."""
-    return dedup.minhash_dedup(_t(spark, sf, "documents"), threshold=0.15,
-                               k=32, bands=16)
+    return dedup.minhash_dedup(_t(spark, sf, "documents"), threshold=0.5,
+                               k=32, bands=8)
 
 
 def q_simhash_near_dups(spark, sf):
