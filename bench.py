@@ -74,7 +74,9 @@ def main() -> None:
         200_000,
         spark.read.parquet(os.path.join(SF_DIR, "lineitem.parquet")).count(),
     )
-    log_dir = os.path.join(tempfile.gettempdir(), f"bench_cdc_log_{n_events}")
+    log_dir = os.path.join(
+        tempfile.gettempdir(), f"bench_cdc_log_{n_events}_f{CPUS}"
+    )
     if not os.path.exists(os.path.join(log_dir, "manifest.json")):
         generate_change_log(
             log_dir,
@@ -84,6 +86,7 @@ def main() -> None:
                 n_partitions=8,
                 seed=42,
                 payload=False,
+                files_per_tranche=CPUS,
             ),
         )
     table_dir = os.path.join(tempfile.gettempdir(), f"bench_cdc_table_{os.getpid()}")

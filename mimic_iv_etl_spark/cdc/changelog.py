@@ -181,7 +181,9 @@ def generate_change_log(out_dir: str, spec: ChangeLogSpec | None = None) -> dict
             if chunk.num_rows == 0:
                 continue
             path = os.path.join(t_dir, f"part-{i:05d}.parquet")
-            pq.write_table(chunk, path)
+            # small row groups keep files splittable: a 150k-row single-group
+            # file caps Spark's scan parallelism at nfiles regardless of cores
+            pq.write_table(chunk, path, row_group_size=65536)
             files.append(path)
         manifest["tranches"].append(
             {"id": t_id, "evolved": evolved, "rows": tbl.num_rows, "files": files}

@@ -1,0 +1,84 @@
+"""Session/source facade — parity with ``mimicfouretl/bigquery_utils.py``.
+
+The reference's two backends were BigQuery (connector not present here) and
+local CSVs re-registered as temp views on every query
+(``bigquery_utils.py:97-99`` — O(tables) redundant work per query, with
+``inferSchema`` drift). This facade registers each table once, supports
+parquet and csv, and keeps the ``mimiciv_hosp.`` / ``mimiciv_icu.`` prefix
+stripping so existing query strings run unchanged.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from mimic_iv_etl_spark.session import get_spark_session as _engine_session
+
+
+def get_spark_session(materialization_dataset: str = "unused",
+                      use_service_account_auth: bool = False,
+                      use_local_data: bool = True) -> SparkSession:
+    """Parity: ``bigquery_utils.py:66-92``. BigQuery connector wiring is not
+    available in this environment; local/lake mode is the engine default."""
+    return _engine_session(app_name="mimicfouretl-compat")
+
+
+def list_tables(dataset_id: str, client=None, use_local_data: bool = True,
+                local_path: str = "../data/sample/") -> list[str]:
+    """Parity: ``bigquery_utils.py:54-63`` (prefix match over a data dir)."""
+    names = []
+    for f in sorted(os.listdir(local_path)):
+        stem = f.split(".parquet")[0].split(".csv")[0]
+        if stem.startswith(dataset_id) or dataset_id in stem:
+            names.append(stem)
+    return names
+
+
+def register_local_tables(spark: SparkSession, local_path: str) -> list[str]:
+    """Register every parquet/csv file under ``local_path`` as a temp view,
+    once (the reference re-registered per query). View name = last dot-part
+    of the stem (``mimiciv_hosp.admissions`` → ``admissions``), matching the
+    reference's prefix stripping."""
+    registered = []
+    for f in sorted(os.listdir(local_path)):
+        path = os.path.join(local_path, f)
+        if f.endswith(".parquet"):
+            df = spark.read.parquet(path)
+            stem = f[: -len(".parquet")]
+        elif f.endswith(".csv"):
+            df = spark.read.csv(path, header=True, inferSchema=True)
+            stem = f[: -len(".csv")]
+        else:
+            continue
+        view = stem.split(".")[-1]
+        df.createOrReplaceTempView(view)
+        registered.append(view)
+    return registered
+
+
+def run_query(spark: SparkSession, query: str, use_local_data: bool = True,
+              local_path: str | None = None) -> DataFrame:
+    """Parity: ``bigquery_utils.py:95-111`` local mode. Strips the
+    ``mimiciv_hosp.`` / ``mimiciv_icu.`` dataset prefixes and runs through
+    Spark SQL / Catalyst. Registration is explicit or one-time (pass
+    ``local_path`` on first use), not per-query."""
+    if local_path is not None:
+        register_local_tables(spark, local_path)
+    query = query.replace("mimiciv_hosp.", "").replace("mimiciv_icu.", "")
+    query = query.replace("`", "")
+    return spark.sql(query)
+
+
+def display_sampled_df(spark_df: DataFrame, sample_type: str = "random",
+                       number: int = 10, seed: int = 12):
+    """Parity: ``bigquery_utils.py:114-131`` (returns the pandas frame
+    instead of relying on a notebook ``display``)."""
+    if sample_type == "random":
+        sampled = spark_df.sample(withReplacement=False, fraction=1.0, seed=seed).limit(number)
+    elif sample_type == "head":
+        sampled = spark_df.limit(number)
+    else:
+        raise ValueError("Invalid sample type. Choose from 'random' or 'head'.")
+    return sampled.toPandas()

@@ -1,0 +1,168 @@
+"""Compat facade tests: the reference's public API surface runs unchanged
+(names, parameters, output columns) on this engine."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimic_iv_etl_spark.compat import analysis_utils as au
+from mimic_iv_etl_spark.compat import bigquery_utils as bq
+from mimic_iv_etl_spark.compat.feature_engineering import (
+    FeatureEngineering,
+    left_merge_dataframes,
+)
+from mimic_iv_etl_spark.compat.phenotyping_engine import PhenotypingEngine
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module", autouse=True)
+def views(spark):
+    """Register testdata as views shaped like the reference's temp views,
+    including a MIMIC-shaped events/patients pair for the interval ops."""
+    for t in ("events", "orders", "customer", "part"):
+        spark.read.parquet(f"{SF}/{t}.parquet").createOrReplaceTempView(t)
+    # MIMIC-shaped: subject_id/hadm_id grain
+    ev = spark.read.parquet(f"{SF}/events.parquet").select(
+        F.col("user_id").alias("subject_id"),
+        (F.col("event_id") % 100).alias("hadm_id"),
+        F.col("event_type"),
+        F.col("ts").alias("charttime"),
+        F.col("value").alias("valuenum"),
+    )
+    ev.createOrReplaceTempView("labevents")
+    pats = ev.groupBy("subject_id").agg(F.max("charttime").alias("dod"))
+    pats.withColumn(
+        "dod", F.when(F.col("subject_id") % 3 == 0, F.col("dod"))
+    ).createOrReplaceTempView("patients")
+    yield
+
+
+def test_run_query_prefix_stripping(spark):
+    out = bq.run_query(spark, "SELECT count(*) AS n FROM `mimiciv_hosp.events`")
+    assert out.collect()[0]["n"] == spark.table("events").count()
+
+
+def test_display_sampled_df(spark):
+    pdf = bq.display_sampled_df(spark.table("events"), "head", number=5)
+    assert len(pdf) == 5
+    with pytest.raises(ValueError):
+        bq.display_sampled_df(spark.table("events"), "nope")
+
+
+def test_feature_engineering_surface(spark):
+    df = spark.table("labevents")
+    fe = FeatureEngineering(df, subject_column="subject_id")
+    fe.count_events("event_type", specific_value="click")
+    fe.flag_events("event_type", specific_value="purchase")
+    fe.count_previous_events("subject_id", "charttime", "event_type")
+    fe.check_event_within_timeframe("subject_id", "charttime", timeframe=30)
+    fe.calculate_statistics("valuenum")
+    fe.create_conditional_feature("valuenum > 50", "high_value")
+    fe.create_composite_index_score(
+        {"valuenum": lambda c: (c / 10).cast("int")},
+        {"high_value": lambda score, c: score + c},
+    )
+    fe.apply_clinical_prediction_rule(
+        {"risk": {"valuenum": {"> 90": 2, "<= 90": 1}}}
+    )
+    out = fe.get_processed_data()
+    cols = set(out.columns)
+    assert {"event_type_count", "event_type_flag", "previous_event_type",
+            "next_charttime_date", "days_to_next_charttime",
+            "charttime_within_30_days", "valuenum_mean", "valuenum_stddev",
+            "valuenum_median", "high_value", "valuenum_score",
+            "composite_score", "risk_score"} <= cols
+    row = out.filter(F.col("valuenum") > 90).select("risk_score").first()
+    assert row["risk_score"] == 2
+
+    # count parity vs reference's aggregate-then-join-back formulation
+    ref_style = (
+        df.withColumn("f", F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .groupBy("subject_id").sum("f")
+        .withColumnRenamed("sum(f)", "want")
+    )
+    chk = out.select("subject_id", "event_type_count").distinct().join(
+        ref_style, "subject_id")
+    assert chk.filter(F.col("event_type_count") != F.col("want")).count() == 0
+
+
+def test_measure_event_duration(spark):
+    df = spark.table("labevents").withColumn(
+        "endtime", F.col("charttime") + F.expr("INTERVAL 2 HOURS"))
+    fe = FeatureEngineering(df)
+    fe.measure_event_duration("charttime", "endtime")
+    out = fe.get_processed_data()
+    assert out.count() == df.count()  # no row explosion (reference defect fixed)
+    assert out.select("event_duration").distinct().collect()[0][0] == 7200
+
+    fe2 = FeatureEngineering(df)
+    fe2.measure_event_duration("charttime", "endtime", aggregate_method="mean")
+    assert "event_duration" in fe2.get_processed_data().columns
+
+
+def test_phenotyping_engine(spark):
+    pe = PhenotypingEngine(spark.table("customer"))
+    with pytest.raises(ValueError):
+        pe.add_rule("WRONG", "1=1")
+    with pytest.raises(TypeError):
+        pe.add_rule("CASE", 42)
+    pe.add_rule("CONTROL", "c_mktsegment = 'BUILDING'")
+    pe.add_rule("CASE", "c_acctbal > 9000")
+    pe.execute_phenotyping()
+    out = pe.get_results()
+    # CASE precedence over CONTROL even though CONTROL was added first
+    assert out.filter((F.col("c_acctbal") > 9000)
+                      & (F.col("Phenotype") != "CASE")).count() == 0
+    assert set(r["Phenotype"] for r in out.select("Phenotype").distinct().collect()) \
+        <= {"CASE", "CONTROL", "OTHER"}
+
+
+def test_analysis_utils_surface(spark):
+    freq = au.get_item_frequency(spark, "event_type", "events", limit=3)
+    assert freq.columns == ["event_type", "count"] and freq.count() == 3
+
+    outcomes = au.get_outcomes_by_item(
+        spark, "click", "event_type", "labevents", "valuenum", "labevents")
+    assert outcomes.columns == ["subject_id", "hadm_id", "item_value", "outcome_value"]
+
+    ab = au.get_abnormal_item_analysis(
+        spark, "click", "event_type", "valuenum", {"lower": 10, "upper": 90},
+        "labevents")
+    vals = [r["valuenum"] for r in ab.collect()]
+    assert all(v < 10 or v > 90 for v in vals) and vals
+
+    prov = au.get_provider_activity_analysis(
+        spark, 1, {"labevents": {"provider": "subject_id", "activity": "event_type"}})
+    assert prov.columns == ["dataset", "activity", "count"]
+
+    co = au.get_co_occurrence_analysis(spark, "orders", "o_orderpriority",
+                                       "o_orderstatus", threshold=0.2)
+    assert co.columns == ["primary_event", "secondary_event", "frequency"]
+    assert co.filter(F.col("frequency") < 0.2).count() == 0
+
+    dtd = au.calculate_event_to_death_interval(spark, "charttime", "labevents")
+    assert "days_to_death" in dtd.columns and dtd.count() > 0
+
+    e2e = au.calculate_event_to_event_interval(spark, {
+        "first_event": {"dataset": "labevents", "event_type": "signup",
+                        "time_column": "charttime"},
+        "second_event": {"dataset": "labevents", "event_type": "purchase",
+                         "time_column": "charttime"},
+    })
+    assert {"first_event_time", "second_event_time", "interval_days"} <= set(e2e.columns)
+
+    sr = au.search_dataset_by_value(spark, "part", "p_name", "RED",
+                                    columns=["p_partkey", "p_name"],
+                                    closeness="contains")
+    assert sr.columns == ["p_partkey", "p_name"]
+    assert sr.count() == spark.table("part").filter(
+        F.lower("p_name").contains("red")).count()
+
+
+def test_left_merge_dataframes(spark):
+    l = spark.createDataFrame([(1, "a"), (2, "b")], "k int, x string")
+    r = spark.createDataFrame([(1, "z")], "k int, y string")
+    out = left_merge_dataframes(l, r, ["k"])
+    assert out.columns == ["k", "x", "y"] and out.count() == 2
