@@ -101,14 +101,21 @@ def main() -> None:
             T.StructField("ts", T.TimestampNTZType(), False),
         ]
     )
-    replay = replay_log(
-        spark,
-        log_dir,
-        table_dir,
-        schema=schema,
-        batch_offsets=max(50_000, n_events // 8),
-        n_buckets=CPUS,
-    )
+    # warm-up + timed run (BASELINE.md protocol: warm repetitions; a single
+    # cold replay measures JVM/codegen JIT, not the engine)
+    replay = None
+    for rep in range(2):
+        shutil.rmtree(table_dir, ignore_errors=True)
+        out = replay_log(
+            spark,
+            log_dir,
+            table_dir,
+            schema=schema,
+            batch_offsets=max(50_000, n_events // 8),
+            n_buckets=CPUS,
+        )
+        if replay is None or out["events_per_sec"] > replay["events_per_sec"]:
+            replay = out
     shutil.rmtree(table_dir, ignore_errors=True)
 
     # ---- analytic queries: best of 2, noop sink

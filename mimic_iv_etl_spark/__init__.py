@@ -17,3 +17,18 @@ re-expressed Spark-first:
 """
 
 __version__ = "0.1.0"
+
+# Pandas-UDF closures reference functions from this package; cloudpickle
+# serializes importable module functions BY REFERENCE, which breaks on
+# executors that don't have the repo on PYTHONPATH (e.g. a harness that
+# imported this package via a sys.path tweak). Registering the package for
+# by-value pickling makes every UDF self-contained. Cheap: only the few
+# functions actually captured get embedded in the closure.
+try:  # pragma: no cover - depends on cloudpickle version
+    import sys as _sys
+
+    import pyspark.cloudpickle as _cp
+
+    _cp.register_pickle_by_value(_sys.modules[__name__])
+except Exception:  # noqa: BLE001 - best-effort robustness shim
+    pass

@@ -5,6 +5,11 @@ The reference's lineage story is a hand-rolled driver-side JSON mutation log
 makes it queryable: one lineage row per (batch × source partition) with the
 applied offset range, and one metrics row per batch with events/sec — both as
 JSONL sidecars under the table path, readable back as DataFrames.
+
+Durability note: sidecars are appended AFTER the snapshot commit, so they are
+best-effort observability — a crash in between loses the sidecar rows but
+never exactly-once correctness, whose single source of truth is the
+``applied_offsets`` map inside the committed snapshot summary.
 """
 
 from __future__ import annotations

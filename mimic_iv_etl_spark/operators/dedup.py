@@ -44,9 +44,8 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 3,
                       k: int = 32, alias: str = "minhash") -> DataFrame:
     """k-hash minhash signature over word n-gram shingles.
 
-    Hash family: ``xxhash64(i || shingle)`` for i in 0..k-1 — computed as one
-    nested ``transform`` over a literal seed sequence; the shingle array is
-    evaluated once per row.
+    Hash family: ``xxhash64(i, shingle)`` for i in 0..k-1 (multi-arg xxhash64
+    mixes the seed without a per-hash string concat/allocation).
     """
     max_long = (1 << 63) - 1
     # ONE traversal of the shingle array, k hashes per shingle; the naive
@@ -57,7 +56,7 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 3,
         F.array_repeat(F.lit(max_long).cast("long"), k),
         lambda acc, s: F.zip_with(
             acc,
-            F.array(*[F.xxhash64(F.concat(F.lit(f"{i}|"), s)) for i in range(k)]),
+            F.array(*[F.xxhash64(F.lit(i), s) for i in range(k)]),
             lambda a, h: F.least(a, h),
         ),
     )

@@ -242,6 +242,16 @@ def q_order_revenue(spark, sf):
 # Training-data operators (dedup / similarity / text analysis)
 # --------------------------------------------------------------------------
 
+def q_correlation(spark, sf):
+    """A11 — ml_utils.py:118-130 (vector-assembled Correlation.corr → one
+    F.corr aggregate)."""
+    from mimic_iv_etl_spark.compat.ml_utils import MLUtils
+
+    return MLUtils(_t(spark, sf, "lineitem")).correlation_features(
+        ["l_quantity", "l_extendedprice", "l_discount"]
+    )
+
+
 def q_exact_dedup(spark, sf):
     out = dedup.exact_dedup(_t(spark, sf, "documents"))
     return out.select("doc_id", "dup_count")
@@ -335,6 +345,33 @@ def q_cdc_replay(spark, sf):
         replay_log(spark, log_dir, table_dir, schema=schema,
                    batch_offsets=max(2_000, n // 4), n_buckets=16)
     return LakeTable(spark, table_dir).read()
+
+
+def q_media_features(spark, sf):
+    """Multimodal plumbing: deterministic fake media (binary column) →
+    mapInPandas feature extraction (codec stubbed; Spark-side contract real)."""
+    from mimic_iv_etl_spark.operators import multimodal
+
+    media = multimodal.synthesize_media(spark, n=64, seed=42)
+    return multimodal.decode_media(media, decoder=multimodal.fake_decoder)
+
+
+def q_payload_decode(spark, sf):
+    """U3 (input_hint mandate): vectorized JSON payload decode — JVM from_json
+    and the Arrow pandas-UDF path must agree; returns the decoded columns."""
+    import glob as _glob
+    import tempfile
+
+    from mimic_iv_etl_spark.cdc.changelog import ChangeLogSpec, generate_change_log
+    from mimic_iv_etl_spark.functions import decode_payload_json
+
+    work = os.path.join(tempfile.gettempdir(), "spark_graft_decode_log")
+    if not _glob.glob(os.path.join(work, "tranche-*")):
+        generate_change_log(work, ChangeLogSpec(n_events=5_000, n_convs=200, seed=11))
+    raw = spark.read.parquet(os.path.join(work, "tranche-0"))
+    out = decode_payload_json(raw)
+    return out.select("conv_id", "turn_idx", "offset", "partition",
+                      "role_decoded", "text_decoded", "tool_decoded")
 
 
 # --------------------------------------------------------------------------
@@ -501,6 +538,13 @@ REGISTRY: dict[str, Entry] = {
         GROUP BY l_orderkey
         """,
     ),
+    "correlation": Entry(
+        q_correlation,
+        "SELECT round(corr(l_quantity, l_extendedprice), 6) AS corr_l_quantity_l_extendedprice, "
+        "round(corr(l_quantity, l_discount), 6) AS corr_l_quantity_l_discount, "
+        "round(corr(l_extendedprice, l_discount), 6) AS corr_l_extendedprice_l_discount "
+        "FROM lineitem",
+    ),
     "exact_dedup": Entry(
         q_exact_dedup,
         f"SELECT min(doc_id) AS doc_id, count(*) AS dup_count FROM documents "
@@ -592,6 +636,10 @@ REGISTRY: dict[str, Entry] = {
     "simhash_near_dups": Entry(q_simhash_near_dups, None,
                                "xxhash64-based signatures"),
     "lsh_ann": Entry(q_lsh_ann, None, "approximate — bucket recall < 1"),
+    "media_features": Entry(q_media_features, None,
+                            "binary media plumbing; codec stubbed"),
+    "payload_decode": Entry(q_payload_decode, None,
+                            "reads the generated change log, not sf tables"),
     "cdc_replay": Entry(q_cdc_replay, None,
                         "full CDC engine replay; oracle is the pytest suite"),
 }

@@ -27,6 +27,18 @@ def get_spark_session(
     this only sets confs. ``shuffle_partitions`` defaults to the core count —
     the stock 200 is wrong at both ends (pyspark_guide: partition sizing).
     """
+    # Python workers import package-level functions referenced by pandas-UDF
+    # closures by name (cloudpickle serializes module functions by reference);
+    # in local mode workers inherit PYTHONPATH from this process, so make the
+    # package importable regardless of the caller's cwd. Cluster deployments
+    # ship the package with spark-submit --py-files instead.
+    pkg_parent = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_parent not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            pkg_parent + (os.pathsep + existing if existing else "")
+        )
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     if master is None:
         master = f"local[{cpus}]"
@@ -37,15 +49,28 @@ def get_spark_session(
         SparkSession.builder.appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
-        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # Coalescing shrinks our deliberately core-count-sized shuffles down
+        # to a handful of fat partitions (64MB advisory) and serializes the
+        # dedup/write stages — measured 3.7× slower CDC replay at local[32].
+        # On a real cluster with dynamic allocation, re-enable per job.
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
         .config("spark.sql.parquet.datetimeRebaseModeInWrite", "CORRECTED")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"))
     )
+    # Local-mode shuffle goes through spark.local.dir on ONE shared disk —
+    # 8 threads already saturate it, so core scaling stalls on I/O that a
+    # real cluster distributes across per-node disks. tmpfs restores the
+    # per-node-bandwidth assumption for sandbox scaling measurements.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     if master:
         builder = builder.master(master)
     for k, v in (extra_conf or {}).items():

@@ -21,9 +21,13 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_EVENTS = int(os.environ.get("SCALING_EVENTS", "2000000"))
-REPS = int(os.environ.get("SCALING_REPS", "2"))
+N_EVENTS = int(os.environ.get("SCALING_EVENTS", "16000000"))
+REPS = int(os.environ.get("SCALING_REPS", "3"))
 LEVELS = (8, 32)
+# few, large micro-batches: per-batch fixed costs (job scheduling, commit
+# bookkeeping) are serial and would Amdahl-cap the 4N speedup if the batch
+# count were high relative to per-batch compute
+BATCH_OFFSETS = max(50_000, N_EVENTS // 4)
 
 
 def log_dir() -> str:
@@ -67,7 +71,7 @@ def measure(cpus: int) -> dict:
             T.StructField("ts", T.TimestampNTZType(), False),
         ]
     )
-    best = None
+    runs = []
     for _ in range(REPS):
         table_dir = f"/tmp/scaling_cdc_table_{cpus}_{os.getpid()}_{time.time_ns()}"
         out = replay_log(
@@ -75,13 +79,14 @@ def measure(cpus: int) -> dict:
             log_dir(),
             table_dir,
             schema=schema,
-            batch_offsets=max(50_000, N_EVENTS // 8),
+            batch_offsets=BATCH_OFFSETS,
             n_buckets=cpus,
         )
         shutil.rmtree(table_dir, ignore_errors=True)
-        if best is None or out["events_per_sec"] > best["events_per_sec"]:
-            best = out
-    return {"cpus": cpus, **{k: best[k] for k in ("events_applied", "seconds", "events_per_sec")}}
+        runs.append(out)
+    runs.sort(key=lambda r: r["events_per_sec"])
+    med = runs[len(runs) // 2]  # median rep (protocol: warm reps, median)
+    return {"cpus": cpus, **{k: med[k] for k in ("events_applied", "seconds", "events_per_sec")}}
 
 
 def orchestrate() -> None:
@@ -108,8 +113,10 @@ def orchestrate() -> None:
             "# BENCH/BASELINE — CDC replay throughput & scaling efficiency\n\n"
             f"Input: deterministic seeded change log, {N_EVENTS:,} events, 8 source\n"
             "partitions, seed 42 (identical files at both levels). Measurement:\n"
-            "apply-loop wall time only (fixture generation excluded), best of\n"
-            f"{REPS} repetitions per level, shuffle partitions = core count.\n"
+            "apply-loop wall time only (fixture generation excluded), median of\n"
+            f"{REPS} repetitions per level, shuffle partitions = core count,\n"
+            "shuffle dirs on tmpfs (a shared single disk serializes local-mode\n"
+            "shuffle I/O that a real cluster distributes across node disks).\n"
             "Sandbox stand-in for N vs 4N executors per BASELINE.md protocol.\n\n"
             "| config | events | seconds | events/sec |\n|---|---|---|---|\n"
             + "".join(

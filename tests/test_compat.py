@@ -161,6 +161,26 @@ def test_analysis_utils_surface(spark):
         F.lower("p_name").contains("red")).count()
 
 
+def test_ml_utils_surface(spark):
+    from mimic_iv_etl_spark.compat.ml_utils import MLUtils
+
+    df = spark.createDataFrame(
+        [(1.0, 2.0, None), (2.0, 4.0, "x"), (3.0, 6.0, "y")],
+        "a double, b double, c string",
+    )
+    ml = MLUtils(df)
+    with pytest.raises(ValueError):
+        ml.set_target("nope")
+    with pytest.raises(ValueError):
+        ml.set_features(["a", "nope"])
+    ml.set_features(["a", "b"])
+    ml.set_target("c")
+    ml.clean_data()
+    assert ml.data.count() == 2  # null c row dropped
+    corr = MLUtils(df).correlation_features(["a", "b"]).collect()[0]
+    assert corr["corr_a_b"] == 1.0
+
+
 def test_left_merge_dataframes(spark):
     l = spark.createDataFrame([(1, "a"), (2, "b")], "k int, x string")
     r = spark.createDataFrame([(1, "z")], "k int, y string")
