@@ -45,6 +45,7 @@ def apply_batch(
     batch_id: int,
     dedup_mode: str = "agg",
     commit_noop: bool = False,
+    write_salt: int = 1,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``. Returns stats.
 
@@ -131,6 +132,7 @@ def apply_batch(
         winners,
         new_schema=merged if evolved else None,
         summary={"applied_offsets": new_applied, "batch_id": batch_id},
+        write_salt=write_salt,
     )
 
     new_files = table.last_new_entries

@@ -64,6 +64,8 @@ def replay_log(
     dedup_mode: str = "agg",
     compact_every: int | None = None,
     drop_payload: bool = True,
+    write_salt: int = 1,
+    auto_compact_deltas: int | None = None,
 ) -> dict:
     """Replay the whole log into the table at ``table_path`` (created with
     ``schema`` if absent). ``batch_offsets`` sets the per-partition offset
@@ -98,15 +100,18 @@ def replay_log(
                 start = end
                 continue
             batch = df.filter((F.col("offset") >= start) & (F.col("offset") < end))
-            stats = apply_batch(table, batch, batch_id=batch_seq, dedup_mode=dedup_mode)
+            stats = apply_batch(table, batch, batch_id=batch_seq,
+                                dedup_mode=dedup_mode, write_salt=write_salt)
             batch_seq += 1
             total_applied += stats["events_applied"]
             if stats["skipped"]:
                 n_skipped_windows += 1
             else:
                 n_batches += 1
-            if compact_every and n_batches % compact_every == 0:
+            if compact_every and n_batches and n_batches % compact_every == 0:
                 table.compact()
+            elif auto_compact_deltas:
+                table.maybe_compact(auto_compact_deltas)
             start = end
 
     secs = time.monotonic() - t0

@@ -125,6 +125,37 @@ class LakeTable:
             self.snapshot = json.load(f)
         return self
 
+    def at_version(self, version: int) -> "LakeTable":
+        """Time travel: a read-only handle pinned to snapshot ``version``
+        (snapshots are immutable; any commit from this handle raises
+        CommitConflict because its version is stale)."""
+        other = LakeTable.__new__(LakeTable)
+        other.spark = self.spark
+        other.path = self.path
+        other._meta_dir = self._meta_dir
+        other._data_dir = self._data_dir
+        with open(os.path.join(self._meta_dir, f"v{version}.json")) as f:
+            other.snapshot = json.load(f)
+        return other
+
+    def delta_file_counts(self) -> dict[int, int]:
+        """Delta files per bucket (compaction-policy input)."""
+        out: dict[int, int] = {}
+        for e in self.snapshot["files"]:
+            if e.get("kind", "base") == "delta":
+                out[e["bucket"]] = out.get(e["bucket"], 0) + 1
+        return out
+
+    def maybe_compact(self, max_deltas_per_bucket: int = 8) -> "LakeTable":
+        """Compact only buckets whose delta-file count exceeds the threshold —
+        the amortization policy that keeps read-path reduce cost bounded
+        while ingest stays O(batch)."""
+        hot = {b for b, n in self.delta_file_counts().items()
+               if n > max_deltas_per_bucket}
+        if not hot:
+            return self
+        return self.compact(buckets=hot)
+
     @property
     def version(self) -> int:
         return self.snapshot["version"]
@@ -215,7 +246,8 @@ class LakeTable:
     # ----------------------------------------------------------------- write
 
     def _stage_write(
-        self, state_df: DataFrame, public: T.StructType, schema_id: int, kind: str
+        self, state_df: DataFrame, public: T.StructType, schema_id: int, kind: str,
+        write_salt: int = 1,
     ) -> list[dict]:
         """Write ``state_df`` (internal schema + ``_bucket`` routing column) as
         bucket-partitioned parquet under a staging dir, then move the files
@@ -231,8 +263,20 @@ class LakeTable:
         )
         # co-locate each bucket in one task before partitionBy: file count per
         # commit is exactly ≤ n_buckets instead of tasks × buckets tiny files
-        # (file explosion is the classic MoR ingest killer at scale)
-        aligned = aligned.repartition(self.n_buckets, F.col(BUCKET_COL))
+        # (file explosion is the classic MoR ingest killer at scale).
+        # write_salt > 1 splits a bucket across that many writer tasks — the
+        # north rule's salted-key splitting applied to hot-conversation
+        # buckets (salt derives from the second key column, so rows of one
+        # conversation still land in one bucket dir, just in ≤salt files).
+        if write_salt > 1:
+            salt_col = F.pmod(
+                F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(write_salt)
+            )
+            aligned = aligned.repartition(
+                self.n_buckets * write_salt, F.col(BUCKET_COL), salt_col
+            )
+        else:
+            aligned = aligned.repartition(self.n_buckets, F.col(BUCKET_COL))
         aligned.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
         new_entries: list[dict] = []
         for d in sorted(os.listdir(stage)):
@@ -302,13 +346,15 @@ class LakeTable:
         winners_df: DataFrame,
         new_schema: T.StructType | None = None,
         summary: dict | None = None,
+        write_salt: int = 1,
     ) -> "LakeTable":
         """Merge-on-read upsert commit: append per-batch LWW winners (internal
         schema + ``_bucket``) as delta files. Never reads existing data —
         ingest cost is O(batch). ``summary['applied_offsets']`` must be the
         full updated map (the exactly-once source of truth)."""
         public, schema_id, schemas = self._next_schema(new_schema)
-        entries = self._stage_write(winners_df, public, schema_id, "delta")
+        entries = self._stage_write(winners_df, public, schema_id, "delta",
+                                    write_salt=write_salt)
         out = self._commit(
             self.snapshot["files"] + entries, schema_id, schemas, summary, "append_delta"
         )
