@@ -74,3 +74,9 @@ class QueryBuilder:
         if limit is not None:
             df = df.limit(limit)
         return df
+
+    def generate_query(self, limit: int | None = None) -> DataFrame:
+        """Drop-in alias for the reference's ``generate_query``
+        (``query_builder.py:91-110``) — returns the composed DataFrame (the
+        plan IS the query; there is no SQL string to hand off)."""
+        return self.build(limit=limit)

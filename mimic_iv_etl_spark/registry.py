@@ -347,6 +347,24 @@ def q_cdc_replay(spark, sf):
     return LakeTable(spark, table_dir).read()
 
 
+def q_sessionize(spark, sf):
+    """Sessionization (streaming/windowed.py) run in batch mode: 30-minute
+    inactivity gap per user over events. Oracle: gaps-and-islands SQL."""
+    from mimic_iv_etl_spark.streaming import sessionize
+
+    out = sessionize(_t(spark, sf, "events"), key_col="user_id", gap="30 minutes")
+    return out.select("user_id", "session_start", F.col("events").alias("session_events"))
+
+
+def q_windowed_counts(spark, sf):
+    """Event-time tumbling-window counts (streaming/windowed.py, batch mode)."""
+    from mimic_iv_etl_spark.streaming import windowed_activity_counts
+
+    out = windowed_activity_counts(_t(spark, sf, "events"), window="1 hour",
+                                   group_col="event_type")
+    return out.select("window_start", "event_type", "events")
+
+
 def q_media_features(spark, sf):
     """Multimodal plumbing: deterministic fake media (binary column) →
     mapInPandas feature extraction (codec stubbed; Spark-side contract real)."""
@@ -629,6 +647,29 @@ REGISTRY: dict[str, Entry] = {
           FROM embeddings a, embeddings b WHERE a.vec_id < b.vec_id)
         WHERE cosine >= 0.98
         """,
+    ),
+    "sessionize": Entry(
+        q_sessionize,
+        """
+        WITH o AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                           ORDER BY ts, event_id) < INTERVAL 30 MINUTE
+                      THEN 0 ELSE 1 END AS new_sess
+          FROM events),
+        s AS (SELECT user_id, ts,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                         ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+              FROM o)
+        SELECT user_id, min(ts) AS session_start,
+               count(*) AS session_events
+        FROM s GROUP BY user_id, sid
+        """,
+    ),
+    "windowed_counts": Entry(
+        q_windowed_counts,
+        "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, "
+        "count(*) AS events FROM events GROUP BY 1, 2",
     ),
     # ---- non-SQL-expressible (rows-only driver check) ----
     "minhash_near_dups": Entry(q_minhash_near_dups, None,

@@ -186,3 +186,34 @@ def test_left_merge_dataframes(spark):
     r = spark.createDataFrame([(1, "z")], "k int, y string")
     out = left_merge_dataframes(l, r, ["k"])
     assert out.columns == ["k", "x", "y"] and out.count() == 2
+
+
+def test_sample_data_generator_flow(spark, tmp_path):
+    from mimic_iv_etl_spark.compat import sample_data_generator as sdg
+
+    spark.read.parquet(f"{SF}/orders.parquet").createOrReplaceTempView("orders_v")
+    spark.read.parquet(f"{SF}/customer.parquet").createOrReplaceTempView("customer_v")
+    keys = sdg.choose_random_sample(spark, 30, dataset="customer_v",
+                                    key_column="c_custkey")
+    assert 0 < keys.count() <= spark.table("customer_v").count()
+
+    facts = sdg.extract_direct(
+        spark, keys.withColumnRenamed("c_custkey", "o_custkey"),
+        ["orders_v"], key_column="o_custkey", out_dir=str(tmp_path / "ex"))
+    sampled = {r["o_custkey"] for r in keys.withColumnRenamed(
+        "c_custkey", "o_custkey").collect()}
+    got = {r["o_custkey"] for r in facts["orders_v"].select("o_custkey").distinct().collect()}
+    assert got <= sampled and (tmp_path / "ex" / "orders_v").exists()
+
+    dims = sdg.extract_related(
+        spark, {"orders_v": ("customer_v", "c_custkey")},
+        {"orders_v": facts["orders_v"].withColumnRenamed("o_custkey", "c_custkey")})
+    assert dims["customer_v"].count() == facts["orders_v"].select("o_custkey").distinct().count()
+
+
+def test_query_builder_generate_query_alias(spark):
+    from mimic_iv_etl_spark.plans import QueryBuilder
+
+    df = spark.read.parquet(f"{SF}/region.parquet")
+    out = QueryBuilder(df, columns=["r_name"]).generate_query(limit=2)
+    assert out.columns == ["r_name"] and out.count() == 2
