@@ -46,6 +46,7 @@ def apply_batch(
     dedup_mode: str = "agg",
     commit_noop: bool = False,
     write_salt: int = 1,
+    cache_batch: bool = False,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``. Returns stats.
 
@@ -74,6 +75,17 @@ def apply_batch(
     else:
         fresh = batch_df
 
+    # Optional: cache the filtered batch so the range aggregate and the
+    # dedup+write job share one source scan. Usually unnecessary — the ranges
+    # job reads only (offset, partition) after column pruning, so the second
+    # scan is cheap — and at high core counts cache materialization costs
+    # more than it saves (measured). MEMORY_AND_DISK so oversized batches
+    # spill instead of OOMing.
+    if cache_batch:
+        from pyspark import StorageLevel
+
+        fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK)
+
     # the single driver-side aggregate: per-source-partition ranges (≤P rows)
     ranges = (
         fresh.groupBy("partition")
@@ -87,6 +99,8 @@ def apply_batch(
     events_applied = sum(r["events"] for r in ranges)
 
     if events_applied == 0:
+        if cache_batch:
+            fresh.unpersist()
         if commit_noop:
             table.commit_summary({"batch_id": batch_id, "operation": "noop_batch"})
         secs = time.monotonic() - t0
@@ -134,6 +148,8 @@ def apply_batch(
         summary={"applied_offsets": new_applied, "batch_id": batch_id},
         write_salt=write_salt,
     )
+    if cache_batch:
+        fresh.unpersist()
 
     new_files = table.last_new_entries
     n_winners = sum(e.get("rows", 0) for e in new_files)

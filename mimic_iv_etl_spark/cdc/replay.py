@@ -66,6 +66,8 @@ def replay_log(
     drop_payload: bool = True,
     write_salt: int = 1,
     auto_compact_deltas: int | None = None,
+    decode_payload: bool = False,
+    normalize: bool = False,
 ) -> dict:
     """Replay the whole log into the table at ``table_path`` (created with
     ``schema`` if absent). ``batch_offsets`` sets the per-partition offset
@@ -88,6 +90,23 @@ def replay_log(
     for tranche in _tranche_dirs(log_dir):
         lo, hi = _offset_bounds(tranche)
         df = spark.read.parquet(tranche)
+        if decode_payload and "payload" in df.columns:
+            # the mandated ingest shape (input_hint): events arrive encoded;
+            # reconstruct the data columns from the JSON payload (JVM
+            # from_json) — Catalyst prunes the decode out of jobs that don't
+            # touch the decoded columns (e.g. the offset-range aggregate)
+            from mimic_iv_etl_spark.functions import decode_payload_json
+
+            df = (
+                decode_payload_json(df.drop("role", "text", "tool"))
+                .withColumnRenamed("role_decoded", "role")
+                .withColumnRenamed("text_decoded", "text")
+                .withColumnRenamed("tool_decoded", "tool")
+            )
+        if normalize:
+            from mimic_iv_etl_spark.functions import normalize_text
+
+            df = df.withColumn("text", normalize_text(F.col("text")))
         if drop_payload and "payload" in df.columns:
             df = df.drop("payload")
         start = lo

@@ -45,7 +45,7 @@ def ensure_log() -> None:
                 n_convs=max(1_000, N_EVENTS // 20),
                 n_partitions=8,
                 seed=42,
-                payload=False,
+                payload=True,  # events arrive encoded — the mandated pipeline
                 files_per_tranche=32,
             ),
         )
@@ -72,8 +72,10 @@ def measure(cpus: int) -> dict:
         ]
     )
     runs = []
-    for _ in range(REPS):
+    for rep in range(REPS + 1):  # rep 0 = warmup (page cache + JIT), discarded
         table_dir = f"/tmp/scaling_cdc_table_{cpus}_{os.getpid()}_{time.time_ns()}"
+        # full mandated pipeline (north star): JSON payload decode +
+        # vectorized NFC normalization + LWW MERGE — not just the raw copy
         out = replay_log(
             spark,
             log_dir(),
@@ -81,9 +83,12 @@ def measure(cpus: int) -> dict:
             schema=schema,
             batch_offsets=BATCH_OFFSETS,
             n_buckets=cpus,
+            decode_payload=True,
+            normalize=True,
         )
         shutil.rmtree(table_dir, ignore_errors=True)
-        runs.append(out)
+        if rep > 0:
+            runs.append(out)
     runs.sort(key=lambda r: r["events_per_sec"])
     med = runs[len(runs) // 2]  # median rep (protocol: warm reps, median)
     return {"cpus": cpus, **{k: med[k] for k in ("events_applied", "seconds", "events_per_sec")}}
@@ -112,9 +117,14 @@ def orchestrate() -> None:
         f.write(
             "# BENCH/BASELINE — CDC replay throughput & scaling efficiency\n\n"
             f"Input: deterministic seeded change log, {N_EVENTS:,} events, 8 source\n"
-            "partitions, seed 42 (identical files at both levels). Measurement:\n"
-            "apply-loop wall time only (fixture generation excluded), median of\n"
-            f"{REPS} repetitions per level, shuffle partitions = core count,\n"
+            "partitions, seed 42 (identical files at both levels). Workload: the\n"
+            "full mandated pipeline — JSON payload decode (from_json), vectorized\n"
+            "NFC text normalization (Arrow pandas UDF), LWW dedup, exactly-once\n"
+            "delta commit. Measurement:\n"
+            "apply-loop wall time only (fixture generation excluded), one\n"
+            f"discarded warmup then median of {REPS} repetitions per level\n"
+            "(page-cache/JIT warmup dominates cold runs), shuffle partitions =\n"
+            "core count,\n"
             "shuffle dirs on tmpfs (a shared single disk serializes local-mode\n"
             "shuffle I/O that a real cluster distributes across node disks).\n"
             "Sandbox stand-in for N vs 4N executors per BASELINE.md protocol.\n\n"
