@@ -21,7 +21,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-N_EVENTS = int(os.environ.get("SCALING_EVENTS", "16000000"))
+N_EVENTS = int(os.environ.get("SCALING_EVENTS", "8000000"))
 REPS = int(os.environ.get("SCALING_REPS", "3"))
 LEVELS = (8, 32)
 # few, large micro-batches: per-batch fixed costs (job scheduling, commit
