@@ -347,6 +347,42 @@ def q_cdc_replay(spark, sf):
     return LakeTable(spark, table_dir).read()
 
 
+def q_distinct_keys(spark, sf):
+    """A10 — distinct before key extraction (ml_readmission_risk.ipynb cells
+    14/21/31 collect this; the engine keeps it distributed)."""
+    return _t(spark, sf, "events").select("user_id").distinct()
+
+
+def q_abnormal_analysis(spark, sf):
+    """P5 templated shape — analysis_utils.py:77-112 (bounds dict filter)."""
+    ev = _t(spark, sf, "events")
+    out = ev.filter(F.col("event_type") == "purchase").filter(
+        (F.col("value") < 10) | (F.col("value") > 90)
+    )
+    return out.select("event_id", "user_id", "value")
+
+
+def q_event_interval(spark, sf):
+    """J3/F2 — analysis_utils.py:268-311 (event-to-event interval join).
+    First signup → first purchase per user, interval in days."""
+    ev = _t(spark, sf, "events")
+    first = ev.filter(F.col("event_type") == "signup").groupBy("user_id").agg(
+        F.min("ts").alias("first_event_time"))
+    second = ev.filter(F.col("event_type") == "purchase").groupBy("user_id").agg(
+        F.min("ts").alias("second_event_time"))
+    return first.join(second, "user_id").select(
+        "user_id", "first_event_time", "second_event_time",
+        F.datediff(F.to_date("second_event_time"),
+                   F.to_date("first_event_time")).alias("interval_days"),
+    )
+
+
+def q_rolling_fingerprint(spark, sf):
+    """Winnowing-style shingle-min fingerprint (xxhash64 → rows-only)."""
+    return text.rolling_fingerprint(_t(spark, sf, "documents")).select(
+        "doc_id", "shingle_min_hash")
+
+
 def q_sessionize(spark, sf):
     """Sessionization (streaming/windowed.py) run in batch mode: 30-minute
     inactivity gap per user over events. Oracle: gaps-and-islands SQL."""
@@ -648,6 +684,28 @@ REGISTRY: dict[str, Entry] = {
         WHERE cosine >= 0.98
         """,
     ),
+    "distinct_keys": Entry(
+        q_distinct_keys,
+        "SELECT DISTINCT user_id FROM events",
+    ),
+    "abnormal_analysis": Entry(
+        q_abnormal_analysis,
+        "SELECT event_id, user_id, value FROM events "
+        "WHERE event_type = 'purchase' AND (value < 10 OR value > 90)",
+    ),
+    "event_interval": Entry(
+        q_event_interval,
+        """
+        WITH f AS (SELECT user_id, min(ts) AS first_event_time FROM events
+                   WHERE event_type = 'signup' GROUP BY user_id),
+             s AS (SELECT user_id, min(ts) AS second_event_time FROM events
+                   WHERE event_type = 'purchase' GROUP BY user_id)
+        SELECT user_id, first_event_time, second_event_time,
+               date_diff('day', first_event_time::date, second_event_time::date)
+                   AS interval_days
+        FROM f JOIN s USING (user_id)
+        """,
+    ),
     "sessionize": Entry(
         q_sessionize,
         """
@@ -677,6 +735,8 @@ REGISTRY: dict[str, Entry] = {
     "simhash_near_dups": Entry(q_simhash_near_dups, None,
                                "xxhash64-based signatures"),
     "lsh_ann": Entry(q_lsh_ann, None, "approximate — bucket recall < 1"),
+    "rolling_fingerprint": Entry(q_rolling_fingerprint, None,
+                                 "xxhash64-based shingle-min"),
     "media_features": Entry(q_media_features, None,
                             "binary media plumbing; codec stubbed"),
     "payload_decode": Entry(q_payload_decode, None,
