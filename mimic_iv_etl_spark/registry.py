@@ -311,6 +311,13 @@ def q_lsh_ann(spark, sf):
                                         k=5, n_planes=8)
 
 
+def q_ivf_ann(spark, sf):
+    """IVF-cell approximate top-k (approximate → rows-only check)."""
+    emb = _t(spark, sf, "embeddings")
+    return similarity.ivf_topk(emb, emb.filter(F.col("vec_id") < 20),
+                               k=5, n_lists=8, n_probe=2)
+
+
 # --------------------------------------------------------------------------
 # The CDC engine itself (flagship; non-SQL → rows-only check)
 # --------------------------------------------------------------------------
@@ -735,6 +742,7 @@ REGISTRY: dict[str, Entry] = {
     "simhash_near_dups": Entry(q_simhash_near_dups, None,
                                "xxhash64-based signatures"),
     "lsh_ann": Entry(q_lsh_ann, None, "approximate — bucket recall < 1"),
+    "ivf_ann": Entry(q_ivf_ann, None, "approximate — probes n_probe cells"),
     "rolling_fingerprint": Entry(q_rolling_fingerprint, None,
                                  "xxhash64-based shingle-min"),
     "media_features": Entry(q_media_features, None,

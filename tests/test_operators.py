@@ -309,6 +309,23 @@ def test_lsh_bucketed_topk_runs_and_is_subset_quality(spark):
     assert set(out.columns) == {"query_id", "neighbor_id", "cosine"}
 
 
+def test_ivf_topk_recall_against_exact(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.cosine_topk(emb, q, k=5).collect()}
+    approx = similarity.ivf_topk(emb, q, k=5, n_lists=8, n_probe=4)
+    rows = approx.collect()
+    assert all(r["query_id"] < 10 for r in rows)
+    got = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    # approximate: demand meaningful recall at generous n_probe, not equality
+    assert len(got & exact) / len(exact) >= 0.5
+    # determinism across runs (seeded centroids)
+    again = {(r["query_id"], r["neighbor_id"])
+             for r in similarity.ivf_topk(emb, q, k=5, n_lists=8, n_probe=4).collect()}
+    assert got == again
+
+
 def test_embedding_near_dups(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
     out = similarity.embedding_near_dups(emb, threshold=0.99)
