@@ -131,9 +131,9 @@ def frame_sample_plan(df: DataFrame, every_ms: int = 1000) -> DataFrame:
     )
 
 
-def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
-    """Deterministic fake media table (binary from seeded bytes) — the test
-    substrate for the plumbing above."""
+def _media_rows(n: int, seed: int) -> list[tuple]:
+    """Deterministic fake media rows (seeded bytes) shared by the in-memory
+    and parquet fixtures so both always hold identical content."""
     import random
 
     rng = random.Random(seed)
@@ -154,4 +154,41 @@ def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
                 content,
             )
         )
-    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return rows
+
+
+def synthesize_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
+    """Deterministic fake media table (binary from seeded bytes) — the test
+    substrate for the plumbing above."""
+    return spark.createDataFrame(_media_rows(n, seed), MEDIA_SCHEMA)
+
+
+def write_media_parquet(path: str, n: int = 64, seed: int = 42) -> str:
+    """Write the fake media table as one parquet file (pyarrow, no Spark) so
+    an independent SQL engine can read the same bytes — the substrate for the
+    correctness-gate oracle of the decode pipeline. Idempotent per path."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    if os.path.exists(path):
+        return path
+    rows = _media_rows(n, seed)
+    cols = list(zip(*rows))
+    tbl = pa.table(
+        {
+            "media_id": pa.array(cols[0], pa.int64()),
+            "kind": pa.array(cols[1]),
+            "mime": pa.array(cols[2]),
+            "width": pa.array(cols[3], pa.int32()),
+            "height": pa.array(cols[4], pa.int32()),
+            "duration_ms": pa.array(cols[5], pa.int64()),
+            "content": pa.array(cols[6], pa.binary()),
+        }
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    tmp = path + ".tmp"
+    pq.write_table(tbl, tmp)
+    os.replace(tmp, path)
+    return path

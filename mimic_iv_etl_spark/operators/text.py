@@ -114,13 +114,21 @@ def fingerprint(df: DataFrame, text_col: str = "text",
 
 
 def rolling_fingerprint(df: DataFrame, text_col: str = "text", n: int = 5,
-                        alias: str = "shingle_min_hash") -> DataFrame:
-    """Winnowing-style fingerprint: min of 64-bit hashes over word n-gram
-    shingles (robust to local edits, used as a near-dup prefilter). Built
-    entirely from higher-order array functions — no UDF, no explode/shuffle."""
-    return df.withColumn(alias, F.array_min(
-        F.transform(_shingles(text_col, n), lambda s: F.xxhash64(s))
-    ))
+                        alias: str = "shingle_min_hash",
+                        hash_fn: str = "xxhash64") -> DataFrame:
+    """Winnowing-style fingerprint: min of hashes over word n-gram shingles
+    (robust to local edits, used as a near-dup prefilter). Built entirely from
+    higher-order array functions — no UDF, no explode/shuffle.
+
+    ``hash_fn='xxhash64'`` (default) is the scale path; ``'md5'`` takes the
+    lexicographic min of md5 hex digests — slower, but reproducible by any
+    SQL engine, so the correctness gate can oracle it (same discipline as
+    :func:`fingerprint`)."""
+    if hash_fn == "md5":
+        h = F.array_min(F.transform(_shingles(text_col, n), lambda s: F.md5(s)))
+    else:
+        h = F.array_min(F.transform(_shingles(text_col, n), lambda s: F.xxhash64(s)))
+    return df.withColumn(alias, h)
 
 
 def _shingles(text_col: str, n: int) -> Column:

@@ -29,6 +29,82 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 
 
+# --------------------------------------------------------------------------
+# Gate fixtures: generated inputs shared by a Spark query AND its DuckDB
+# oracle (change logs, media bytes). Every path is keyed by the full spec so
+# a changed spec never collides with a stale directory, and every generator
+# is idempotent — callable from queries() and oracle_sql() in either order.
+# --------------------------------------------------------------------------
+
+# The sf directory the driver's correctness gate runs oracles at (brief: the
+# side-by-side Spark/DuckDB comparison is at sf=0.01).
+_GATE_SF = os.environ.get("SPARK_GRAFT_GATE_SF", "/root/testdata/sf0.01")
+
+
+def _events_rows(sf_dir: str) -> int:
+    """Row count of the sf dir's events table from parquet footers only — no
+    Spark, so queries() and oracle_sql() derive identical fixture keys."""
+    import pyarrow.parquet as pq
+
+    return pq.read_metadata(os.path.join(sf_dir, "events.parquet")).num_rows
+
+
+def _cdc_fixture(sf_dir: str) -> tuple[str, str, int]:
+    """(log_dir, table_dir, n_events) for the replay fixture at this sf."""
+    import tempfile
+
+    n = max(5_000, _events_rows(sf_dir))
+    work = os.path.join(tempfile.gettempdir(), f"spark_graft_cdc_n{n}_s42_e80")
+    return os.path.join(work, "log"), os.path.join(work, "table"), n
+
+
+def _ensure_cdc_log(log_dir: str, n: int) -> str:
+    from mimic_iv_etl_spark.cdc.changelog import ChangeLogSpec, generate_change_log
+
+    if not os.path.exists(os.path.join(log_dir, "manifest.json")):
+        generate_change_log(log_dir, ChangeLogSpec(
+            n_events=n, n_convs=max(100, n // 20), seed=42, evolve_at=0.8))
+    return log_dir
+
+
+def _decode_log_dir() -> str:
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "spark_graft_decode_n5000_s11")
+
+
+def _ensure_decode_log() -> str:
+    from mimic_iv_etl_spark.cdc.changelog import ChangeLogSpec, generate_change_log
+
+    work = _decode_log_dir()
+    if not os.path.exists(os.path.join(work, "manifest.json")):
+        generate_change_log(work, ChangeLogSpec(n_events=5_000, n_convs=200, seed=11))
+    return work
+
+
+def _media_path() -> str:
+    import tempfile
+
+    return os.path.join(tempfile.gettempdir(), "spark_graft_media_n64_s42",
+                        "media.parquet")
+
+
+def _ensure_media() -> str:
+    from mimic_iv_etl_spark.operators.multimodal import write_media_parquet
+
+    return write_media_parquet(_media_path(), n=64, seed=42)
+
+
+def _ensure_gate_fixtures() -> None:
+    """Materialize every generated fixture an oracle reads, at the gate sf.
+    Called from oracle_sql() so the DuckDB side never depends on the Spark
+    queries having run first."""
+    log_dir, _, n = _cdc_fixture(_GATE_SF)
+    _ensure_cdc_log(log_dir, n)
+    _ensure_decode_log()
+    _ensure_media()
+
+
 @dataclass
 class Entry:
     fn: Callable[[SparkSession, str], DataFrame]
@@ -325,21 +401,21 @@ def q_ivf_ann(spark, sf):
 def q_cdc_replay(spark, sf):
     """Full engine: seeded change log → replay (LWW dedup, exactly-once,
     schema evolution) → final transcript state. Log size scales with sf dir
-    (events table rows) so the driver exercises real work at each sf."""
-    import tempfile
+    (events table rows) so the driver exercises real work at each sf.
 
-    from mimic_iv_etl_spark.cdc.changelog import ChangeLogSpec, generate_change_log
+    Oracle: the same window SQL as ``cdc/oracle.py::duckdb_final_state`` over
+    the raw log — a zero-shared-code final-state recomputation (the engine's
+    analogue of the reference's dual-backend differential check,
+    ``bigquery_utils.py:95-111``). replay_log is ALWAYS invoked: it resumes
+    idempotently from the table's committed ``applied_offsets`` (no-op when
+    complete), so a crashed prior run self-heals instead of serving a partial
+    table."""
     from mimic_iv_etl_spark.cdc.replay import replay_log
     from mimic_iv_etl_spark.lake.table import LakeTable
     from pyspark.sql import types as T
 
-    n = max(5_000, _t(spark, sf, "events").count())
-    work = os.path.join(tempfile.gettempdir(), f"spark_graft_cdc_{n}")
-    log_dir = os.path.join(work, "log")
-    table_dir = os.path.join(work, "table")
-    if not os.path.exists(os.path.join(log_dir, "manifest.json")):
-        generate_change_log(log_dir, ChangeLogSpec(n_events=n, n_convs=max(100, n // 20),
-                                                   seed=42, evolve_at=0.8))
+    log_dir, table_dir, n = _cdc_fixture(sf)
+    _ensure_cdc_log(log_dir, n)
     schema = T.StructType([
         T.StructField("conv_id", T.StringType(), False),
         T.StructField("turn_idx", T.IntegerType(), False),
@@ -348,10 +424,29 @@ def q_cdc_replay(spark, sf):
         T.StructField("tool", T.StringType(), True),
         T.StructField("ts", T.TimestampNTZType(), False),
     ])
-    if not LakeTable.exists(table_dir):
-        replay_log(spark, log_dir, table_dir, schema=schema,
-                   batch_offsets=max(2_000, n // 4), n_buckets=16)
+    replay_log(spark, log_dir, table_dir, schema=schema,
+               batch_offsets=max(2_000, n // 4), n_buckets=16)
     return LakeTable(spark, table_dir).read()
+
+
+def _cdc_oracle_sql() -> str:
+    """DuckDB oracle for q_cdc_replay: LWW winner per (conv_id, turn_idx) by
+    (ts, offset, partition), deletes drop the key — verbatim the semantics of
+    ``cdc/oracle.py::duckdb_final_state`` (cross-checked against a per-row
+    Python fold in tests), inlined over the deterministic gate log path."""
+    log_dir, _, _ = _cdc_fixture(_GATE_SF)
+    glob_path = os.path.join(log_dir, "tranche-*", "*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, "offset" DESC, partition DESC
+            ) AS rn
+            FROM read_parquet('{glob_path}', union_by_name=true)
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts, tool_version, latency_ms
+        FROM ranked WHERE rn = 1 AND op <> 'D'
+    """
 
 
 def q_distinct_keys(spark, sf):
@@ -385,8 +480,11 @@ def q_event_interval(spark, sf):
 
 
 def q_rolling_fingerprint(spark, sf):
-    """Winnowing-style shingle-min fingerprint (xxhash64 → rows-only)."""
-    return text.rolling_fingerprint(_t(spark, sf, "documents")).select(
+    """Winnowing-style shingle-min fingerprint. The gate runs the md5-hash
+    variant so DuckDB can recompute it exactly (lexicographic min of md5
+    digests over 5-gram shingles); the xxhash64 scale path is pytest-pinned."""
+    return text.rolling_fingerprint(_t(spark, sf, "documents"),
+                                    hash_fn="md5").select(
         "doc_id", "shingle_min_hash")
 
 
@@ -409,26 +507,32 @@ def q_windowed_counts(spark, sf):
 
 
 def q_media_features(spark, sf):
-    """Multimodal plumbing: deterministic fake media (binary column) →
-    mapInPandas feature extraction (codec stubbed; Spark-side contract real)."""
+    """Multimodal plumbing: deterministic fake media (parquet binary column) →
+    mapInPandas feature extraction (codec stubbed; Spark-side contract real).
+
+    Gate output is scalars only (the driver's canonicalizer can't hash array
+    columns — CORRECTNESS_r01): each feature vector element is unpacked to its
+    own rounded double, and the DuckDB oracle recomputes every one of them
+    from the raw bytes (hex → byte list). ``content_hash`` (md5 of raw bytes,
+    not expressible in DuckDB 1.0) stays pytest-pinned."""
     from mimic_iv_etl_spark.operators import multimodal
 
-    media = multimodal.synthesize_media(spark, n=64, seed=42)
-    return multimodal.decode_media(media, decoder=multimodal.fake_decoder)
+    media = spark.read.parquet(_ensure_media())
+    feats = multimodal.decode_media(media, decoder=multimodal.fake_decoder)
+    return feats.select(
+        "media_id", "kind", "n_bytes",
+        *[F.round(F.element_at("feature", i + 1).cast("double"), 1).alias(f"f{i}")
+          for i in range(8)],
+    )
 
 
 def q_payload_decode(spark, sf):
     """U3 (input_hint mandate): vectorized JSON payload decode — JVM from_json
-    and the Arrow pandas-UDF path must agree; returns the decoded columns."""
-    import glob as _glob
-    import tempfile
-
-    from mimic_iv_etl_spark.cdc.changelog import ChangeLogSpec, generate_change_log
+    and the Arrow pandas-UDF path must agree; returns the decoded columns.
+    Oracle: DuckDB json_extract_string over the same generated log."""
     from mimic_iv_etl_spark.functions import decode_payload_json
 
-    work = os.path.join(tempfile.gettempdir(), "spark_graft_decode_log")
-    if not _glob.glob(os.path.join(work, "tranche-*")):
-        generate_change_log(work, ChangeLogSpec(n_events=5_000, n_convs=200, seed=11))
+    work = _ensure_decode_log()
     raw = spark.read.parquet(os.path.join(work, "tranche-0"))
     out = decode_payload_json(raw)
     return out.select("conv_id", "turn_idx", "offset", "partition",
@@ -441,6 +545,18 @@ def q_payload_decode(spark, sf):
 
 _NORM_TEXT = "lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))"
 _WORDS = "string_split_regex(trim(text), '\\s+')"
+
+
+def _shingle_sql(n: int, words: str = "w") -> str:
+    """DuckDB expression for word n-gram shingles over a token-list column,
+    mirroring operators/text.py::_shingles exactly — including the sub-n-token
+    fallback to ONE whole-text shingle (ADVICE r01: the oracle previously
+    produced an empty list for such docs, a latent divergence)."""
+    return (
+        f"CASE WHEN len({words}) < {n} THEN [array_to_string({words}, ' ')] "
+        f"ELSE [array_to_string({words}[i:i+{n - 1}], ' ') "
+        f"for i in range(1, len({words}) - {n - 2})] END"
+    )
 
 _LANG_SCORES = """
     len(list_intersect(list_distinct({w}), ['der','die','das','und','ist','nicht','ein','zu'])) s_de,
@@ -456,8 +572,10 @@ REGISTRY: dict[str, Entry] = {
     ),
     "conditional_count": Entry(
         q_conditional_count,
-        "SELECT user_id, sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
-        "AS click_count FROM events GROUP BY user_id",
+        # ::BIGINT — DuckDB sum(int) is HUGEINT → float64 in pandas, which the
+        # driver's value hash distinguishes from Spark's bigint (ADVICE r01)
+        "SELECT user_id, sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)"
+        "::BIGINT AS click_count FROM events GROUP BY user_id",
     ),
     "total_count": Entry(
         q_total_count,
@@ -652,9 +770,7 @@ REGISTRY: dict[str, Entry] = {
         q_ngram_jaccard_pairs,
         f"""
         WITH sh AS (
-          SELECT doc_id, list_distinct(
-            [array_to_string(w[i:i+2], ' ') for i in range(1, len(w) - 1)]
-          ) AS s
+          SELECT doc_id, list_distinct({_shingle_sql(3)}) AS s
           FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
         )
         SELECT * FROM (
@@ -736,6 +852,48 @@ REGISTRY: dict[str, Entry] = {
         "SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start, event_type, "
         "count(*) AS events FROM events GROUP BY 1, 2",
     ),
+    "rolling_fingerprint": Entry(
+        q_rolling_fingerprint,
+        f"""
+        SELECT doc_id, list_aggregate([md5(x) for x in {_shingle_sql(5)}], 'min')
+               AS shingle_min_hash
+        FROM (SELECT doc_id, {_WORDS} AS w FROM documents)
+        """,
+    ),
+    "media_features": Entry(
+        q_media_features,
+        # recompute fake_decoder from raw bytes: hex(content) → byte list
+        f"""
+        WITH x AS (
+          SELECT media_id, kind, octet_length(content)::BIGINT AS n,
+                 [('0x' || substr(lower(hex(content)), 2*i + 1, 2))::INT
+                  for i in range(octet_length(content))] AS b
+          FROM read_parquet('{_media_path()}')
+        )
+        SELECT media_id, kind, n AS n_bytes,
+               round((n % 251)::DOUBLE, 1) AS f0,
+               round((list_sum(b[1:64]) % 997)::DOUBLE, 1) AS f1,
+               round(b[1]::DOUBLE, 1) AS f2,
+               round(b[-1]::DOUBLE, 1) AS f3,
+               round(n::DOUBLE, 1) AS f4,
+               round(list_min(b[1:32])::DOUBLE, 1) AS f5,
+               round(list_max(b[1:32])::DOUBLE, 1) AS f6,
+               round(((n * 2654435761) % 1009)::DOUBLE, 1) AS f7
+        FROM x
+        """,
+    ),
+    "payload_decode": Entry(
+        q_payload_decode,
+        f"""
+        SELECT conv_id, turn_idx, "offset" AS offset, partition,
+               json_extract_string(payload, '$.role') AS role_decoded,
+               json_extract_string(payload, '$.text') AS text_decoded,
+               json_extract_string(payload, '$.tool') AS tool_decoded
+        FROM read_parquet('{os.path.join(_decode_log_dir(), "tranche-0", "*.parquet")}')
+        """,
+    ),
+    "cdc_replay": Entry(q_cdc_replay, _cdc_oracle_sql(),
+                        "full CDC engine replay vs duckdb_final_state SQL"),
     # ---- non-SQL-expressible (rows-only driver check) ----
     "minhash_near_dups": Entry(q_minhash_near_dups, None,
                                "xxhash64-based LSH candidates"),
@@ -743,14 +901,6 @@ REGISTRY: dict[str, Entry] = {
                                "xxhash64-based signatures"),
     "lsh_ann": Entry(q_lsh_ann, None, "approximate — bucket recall < 1"),
     "ivf_ann": Entry(q_ivf_ann, None, "approximate — probes n_probe cells"),
-    "rolling_fingerprint": Entry(q_rolling_fingerprint, None,
-                                 "xxhash64-based shingle-min"),
-    "media_features": Entry(q_media_features, None,
-                            "binary media plumbing; codec stubbed"),
-    "payload_decode": Entry(q_payload_decode, None,
-                            "reads the generated change log, not sf tables"),
-    "cdc_replay": Entry(q_cdc_replay, None,
-                        "full CDC engine replay; oracle is the pytest suite"),
 }
 
 
@@ -759,4 +909,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # oracles over generated fixtures (change logs, media bytes) must be
+    # runnable even if the driver executes SQL before the Spark queries
+    _ensure_gate_fixtures()
     return {name: e.oracle for name, e in REGISTRY.items() if e.oracle is not None}
