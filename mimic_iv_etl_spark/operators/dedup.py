@@ -20,10 +20,31 @@ from __future__ import annotations
 from functools import reduce
 from operator import add
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from mimic_iv_etl_spark.operators.text import _shingles, normalize_text_expr, tokens
+
+
+def _cap_bucket_size(buckets: DataFrame, key_cols: list[str],
+                     max_bucket: int | None) -> DataFrame:
+    """Frequent-bucket cap for LSH self-joins: drop buckets holding more than
+    ``max_bucket`` rows before the pair-generating join. A bucket of B rows
+    emits B² candidates — degenerate buckets (empty strings, boilerplate,
+    license headers) are the classic near-dup blowup at corpus scale
+    (VERDICT r01 item 4). Rows in an over-cap bucket are near-identical by
+    construction, which is :func:`exact_dedup`'s job — skipping them here is
+    the standard cap (sub-salting would emit an arbitrary pair subset, a
+    false sense of coverage). The count is a window over the same keys the
+    join shuffles on, so the cap adds no new shuffle key."""
+    if max_bucket is None:
+        return buckets
+    w = Window.partitionBy(*key_cols)
+    return (
+        buckets.withColumn("_bsz", F.count("*").over(w))
+        .filter(F.col("_bsz") <= max_bucket)
+        .drop("_bsz")
+    )
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text",
@@ -66,11 +87,14 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 3,
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            sig_col: str = "minhash", bands: int = 8,
-                           k: int = 32) -> DataFrame:
+                           k: int = 32,
+                           max_bucket: int | None = 1000) -> DataFrame:
     """LSH banding: split the k-wide signature into ``bands`` bands, hash each
     band, self-join per (band_id, band_hash) bucket → candidate id pairs
-    (a < b). Shuffle key = band hash (uniform); pair blowup bounded by bucket
-    size. Band hashes unroll with literal element indices — no runtime slice."""
+    (a < b). Shuffle key = band hash (uniform); pair blowup bounded by
+    ``max_bucket`` (buckets above it are skipped — see
+    :func:`_cap_bucket_size`). Band hashes unroll with literal element
+    indices — no runtime slice."""
     n_sig = k
     r = max(1, n_sig // bands)
     band_cols = [
@@ -86,6 +110,7 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col).alias("_id"),
         F.posexplode(F.array(*band_cols)).alias("band", "band_hash"),
     )
+    buckets = _cap_bucket_size(buckets, ["band", "band_hash"], max_bucket)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -119,11 +144,13 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3, k: int = 32,
-                  bands: int = 8, threshold: float = 0.8) -> DataFrame:
-    """End-to-end near-dup pair detection: minhash → LSH buckets → verified
-    Jaccard ≥ threshold."""
+                  bands: int = 8, threshold: float = 0.8,
+                  max_bucket: int | None = 1000) -> DataFrame:
+    """End-to-end near-dup pair detection: minhash → LSH buckets (capped at
+    ``max_bucket`` rows per bucket) → verified Jaccard ≥ threshold."""
     sigs = minhash_signature(df, text_col=text_col, n=n, k=k)
-    cands = minhash_lsh_candidates(sigs, id_col=id_col, bands=bands, k=k)
+    cands = minhash_lsh_candidates(sigs, id_col=id_col, bands=bands, k=k,
+                                   max_bucket=max_bucket)
     return ngram_jaccard(df, cands, id_col=id_col, text_col=text_col, n=n).filter(
         F.col("jaccard") >= threshold
     )
@@ -176,11 +203,13 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", max_distance: int = 7,
-                      band_bits: int = 8) -> DataFrame:
+                      band_bits: int = 8,
+                      max_bucket: int | None = 1000) -> DataFrame:
     """Near-dup pairs by simhash: block on each of the 64/band_bits bit-bands.
     Pigeonhole: two docs within Hamming distance d share at least one
     identical band when d < #bands — with the default 8 bands recall is exact
-    for d ≤ 7; verify exact Hamming ≤ max_distance within blocks."""
+    for d ≤ 7; verify exact Hamming ≤ max_distance within blocks. Blocks over
+    ``max_bucket`` rows are skipped (see :func:`_cap_bucket_size`)."""
     n_bands = 64 // band_bits
     s = simhash(df, text_col=text_col).select(F.col(id_col).alias("_id"), "simhash")
     bands = s.select(
@@ -195,6 +224,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
             )
         ).alias("band", "band_val"),
     )
+    bands = _cap_bucket_size(bands, ["band", "band_val"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
     return (
         a.join(b, ["band", "band_val"])

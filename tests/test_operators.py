@@ -269,6 +269,32 @@ def test_minhash_dedup_finds_near_dups(spark):
     assert all(p in {(1, 2)} or 3 not in p for p in got)
 
 
+def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
+    """VERDICT r01 item 4: a band bucket of B identical docs must NOT emit B²
+    candidate pairs. With the cap, degenerate buckets are skipped entirely
+    (they're exact_dedup's job); with cap=None the quadratic blowup is still
+    available for small candidate-verification workloads."""
+    n = 300
+    rows = [(i, "the same boilerplate license header text here") for i in range(n)]
+    rows += [(n, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+             (n + 1, "alpha beta gamma delta epsilon zeta eta theta iota kappa extra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    sigs = dedup.minhash_signature(df)
+    capped = dedup.minhash_lsh_candidates(sigs, max_bucket=100).count()
+    assert capped <= 1  # only the non-degenerate near-dup pair survives
+    uncapped = dedup.minhash_lsh_candidates(sigs, max_bucket=None).count()
+    assert uncapped >= n * (n - 1) // 2  # the blowup the cap prevents
+
+    # end-to-end: identical docs skipped, the real near-dup pair still found
+    pairs = dedup.minhash_dedup(df, threshold=0.5, max_bucket=100)
+    assert {(r["id_a"], r["id_b"]) for r in pairs.collect()} == {(n, n + 1)}
+
+    sim_capped = dedup.simhash_near_dups(df, max_bucket=100)
+    got = {(r["id_a"], r["id_b"]) for r in sim_capped.collect()}
+    assert all(a >= n and b >= n for a, b in got)  # no degenerate-bucket pairs
+
+
 def test_simhash_near_dups(spark):
     base = " ".join(f"w{i}" for i in range(60))
     df = spark.createDataFrame(
