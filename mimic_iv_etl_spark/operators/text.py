@@ -132,12 +132,24 @@ def rolling_fingerprint(df: DataFrame, text_col: str = "text", n: int = 5,
 
 
 def _shingles(text_col: str, n: int) -> Column:
-    """Array of word n-gram shingle strings (empty text → empty array)."""
-    words = tokens(text_col)
-    k = F.size(words) - (n - 1)
-    return F.when(k <= 0, F.array(F.concat_ws(" ", words))).otherwise(
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(words, i, n)),
+    """Array of word n-gram shingle strings (sub-n-token text → ONE whole-text
+    shingle).
+
+    The token array is bound to a lambda variable via a one-element outer
+    ``transform`` before the per-shingle loop touches it. Without the binding,
+    Catalyst inlines the ``tokens()`` regex split into every lambda-body
+    reference and the interpreted HOF re-splits the text once per shingle —
+    O(tokens²) regex work per document (measured: 3.4s → <0.3s for 5k docs
+    at sf0.1). Lambda variables are evaluated once; aliases are not."""
+    def over_words(w: Column) -> Column:
+        k = F.size(w) - (n - 1)
+        return F.when(k <= 0, F.array(F.concat_ws(" ", w))).otherwise(
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+            )
         )
+
+    return F.element_at(
+        F.transform(F.array(tokens(text_col)), over_words), 1
     )
