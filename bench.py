@@ -39,6 +39,8 @@ BENCH_QUERIES = [
     "lww_state",
     "cumulative_prior_count",
     "topk_per_group",
+    "readmission_pipeline",
+    "scaled_features",
     "exact_dedup",
     "minhash_near_dups",
     "simhash_near_dups",

@@ -21,7 +21,15 @@ def get_spark_session(materialization_dataset: str = "unused",
                       use_service_account_auth: bool = False,
                       use_local_data: bool = True) -> SparkSession:
     """Parity: ``bigquery_utils.py:66-92``. BigQuery connector wiring is not
-    available in this environment; local/lake mode is the engine default."""
+    available in this environment; local/lake mode is the engine default.
+    ``use_local_data=False`` raises instead of silently switching backends —
+    a caller who asked for BigQuery must not get local data (VERDICT r01)."""
+    if not use_local_data:
+        raise NotImplementedError(
+            "BigQuery backend is not wired in this environment (no connector "
+            "jar / credentials); pass use_local_data=True for the lake-native "
+            "engine path"
+        )
     return _engine_session(app_name="mimicfouretl-compat")
 
 
@@ -63,7 +71,13 @@ def run_query(spark: SparkSession, query: str, use_local_data: bool = True,
     """Parity: ``bigquery_utils.py:95-111`` local mode. Strips the
     ``mimiciv_hosp.`` / ``mimiciv_icu.`` dataset prefixes and runs through
     Spark SQL / Catalyst. Registration is explicit or one-time (pass
-    ``local_path`` on first use), not per-query."""
+    ``local_path`` on first use), not per-query. ``use_local_data=False``
+    raises (no BigQuery backend here) rather than silently running local."""
+    if not use_local_data:
+        raise NotImplementedError(
+            "BigQuery backend is not wired in this environment; "
+            "run_query only supports use_local_data=True"
+        )
     if local_path is not None:
         register_local_tables(spark, local_path)
     query = query.replace("mimiciv_hosp.", "").replace("mimiciv_icu.", "")

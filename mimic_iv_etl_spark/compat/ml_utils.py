@@ -19,6 +19,27 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def scale_features(df: DataFrame, cols: list[str],
+                   round_to: int | None = None,
+                   stats: DataFrame | None = None) -> DataFrame:
+    """Z-score standardization, distributed: one tiny global aggregate for the
+    moments, broadcast-crossJoined back (no collect, no per-row Python — the
+    reference standardizes via sklearn on a full ``toPandas``,
+    ``ml_utils.py:168-186``, which is driver-bound at scale). Pass ``stats``
+    to transform with moments fitted elsewhere (train-split discipline).
+    Appends ``<col>_z`` columns."""
+    if stats is None:
+        stats = df.agg(
+            *[F.avg(c).alias(f"_mu_{c}") for c in cols],
+            *[F.stddev(c).alias(f"_sd_{c}") for c in cols],
+        )
+    out = df.crossJoin(F.broadcast(stats))
+    for c in cols:
+        z = (F.col(c) - F.col(f"_mu_{c}")) / F.col(f"_sd_{c}")
+        out = out.withColumn(f"{c}_z", F.round(z, round_to) if round_to else z)
+    return out.drop(*[f"_mu_{c}" for c in cols], *[f"_sd_{c}" for c in cols])
+
+
 class MLUtils:
     def __init__(self, data: DataFrame):
         self.data = data
@@ -62,6 +83,67 @@ class MLUtils:
         if not aggs:
             raise ValueError("need at least two columns")
         return self.data.agg(*aggs)
+
+    def select_features(self, features: list, selection_type: str = "subset",
+                        correlation_threshold: float | None = None,
+                        top_n: int | None = None) -> None:
+        """Parity: ``ml_utils.py:95-140``. The reference runs one
+        VectorAssembler + ``Correlation.corr().collect()`` Spark job PER
+        FEATURE (N jobs, N table scans); here all feature-target correlations
+        are one ``F.corr`` aggregate — one scan, one tiny driver row."""
+        if selection_type == "subset":
+            self.set_features(features)
+            return
+        if selection_type != "correlation":
+            raise ValueError("selection_type must be 'subset' or 'correlation'")
+        if self.target is None:
+            raise ValueError(
+                "Target feature needs to be set with set_target method "
+                "before calculating feature correlation.")
+        # corr = covar / (sd_f · sd_y), divided driver-side: ANSI mode makes
+        # F.corr throw divide-by-zero on zero-variance columns; the reference
+        # (MLlib) yields NaN there — we drop such features instead.
+        row = self.data.agg(
+            F.stddev(self.target).alias("_sd_y"),
+            *[F.covar_samp(f, self.target).alias(f"_cov_{f}") for f in features],
+            *[F.stddev(f).alias(f"_sd_{f}") for f in features],
+        ).collect()[0]
+        pairs = [
+            (f, row[f"_cov_{f}"] / (row[f"_sd_{f}"] * row["_sd_y"]))
+            for f in features
+            if row[f"_cov_{f}"] is not None and row[f"_sd_{f}"] and row["_sd_y"]
+        ]
+        if correlation_threshold is not None:
+            pairs = [(f, c) for f, c in pairs if abs(c) >= correlation_threshold]
+        if top_n:
+            pairs.sort(key=lambda x: abs(x[1]), reverse=True)
+            pairs = pairs[:top_n]
+        self.set_features([f for f, _ in pairs])
+
+    def split_data(self, ratio: tuple = (0.7, 0.15, 0.15),
+                   standardization: list[str] | None = None,
+                   seed: int = 42) -> tuple[DataFrame, DataFrame, DataFrame]:
+        """Parity: ``ml_utils.py:145-196`` — but distributed. The reference
+        ``toPandas()``'es the whole table, sklearn-splits and fit-transforms
+        on the driver (OOM-bound at scale); here: seeded ``randomSplit`` plus
+        optional z-score standardization whose moments are fitted on the
+        TRAIN split only and broadcast to all three (the reference's
+        fit-on-train / transform-all discipline, no leakage). Sets
+        ``self.train/val/test`` and returns them."""
+        if len(ratio) != 3:
+            raise ValueError("ratio must be a 3-tuple (train, val, test)")
+        train, val, test = self.data.randomSplit(list(ratio), seed=seed)
+        if standardization:
+            stats = train.agg(
+                *[F.avg(c).alias(f"_mu_{c}") for c in standardization],
+                *[F.stddev(c).alias(f"_sd_{c}") for c in standardization],
+            )
+            train, val, test = (
+                scale_features(d, standardization, stats=stats)
+                for d in (train, val, test)
+            )
+        self.train, self.val, self.test = train, val, test
+        return train, val, test
 
     def log_changes(self, change_description: str,
                     log_path: str = "data_processing_log.json") -> None:

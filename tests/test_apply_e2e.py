@@ -65,6 +65,20 @@ def test_multi_batch_replay_matches_oracle(spark, small_log, tmp_path):
     met = read_metrics(spark, tbl.path).toPandas()
     assert len(met) == 5 and (met["events_per_sec"] > 0).all()
 
+    # flushing sidecars to parquet segments (cluster-durable table sink) must
+    # not change what reads return, and the JSONL tail restarts fresh
+    from mimic_iv_etl_spark.cdc.metrics import append_metrics, flush_sidecars
+
+    flush_sidecars(spark, tbl.path)
+    assert read_lineage(spark, tbl.path).count() == len(lin)
+    assert read_metrics(spark, tbl.path).count() == len(met)
+    append_metrics(tbl.path, {"batch_id": 99, "events_in": 0, "events_applied": 0,
+                              "winners": 0, "seconds": 0.1, "events_per_sec": 0.0,
+                              "touched_buckets": 0, "skipped": True})
+    assert read_metrics(spark, tbl.path).count() == len(met) + 1  # union of both
+    flush_sidecars(spark, tbl.path)
+    assert read_metrics(spark, tbl.path).count() == len(met) + 1
+
 
 def test_reapply_is_idempotent_noop(spark, small_log, tmp_path):
     d, spec, _ = small_log

@@ -181,6 +181,59 @@ def test_ml_utils_surface(spark):
     assert corr["corr_a_b"] == 1.0
 
 
+def test_ml_utils_split_and_scale(spark):
+    from mimic_iv_etl_spark.compat.ml_utils import MLUtils, scale_features
+
+    df = spark.range(2000).select(
+        F.col("id"), (F.col("id") * 2.0 + 1).alias("a"),
+        (F.col("id") % 7).cast("double").alias("b"))
+    # whole-table z-score: mean ~0, stddev ~1
+    z = scale_features(df, ["a"])
+    stats = z.agg(F.avg("a_z"), F.stddev("a_z")).collect()[0]
+    assert abs(stats[0]) < 1e-9 and abs(stats[1] - 1.0) < 1e-9
+
+    ml = MLUtils(df)
+    train, val, test = ml.split_data((0.6, 0.2, 0.2), standardization=["a", "b"])
+    n = df.count()
+    assert train.count() + val.count() + test.count() == n
+    assert 0.5 < train.count() / n < 0.7  # seeded approximate ratio
+    # moments fitted on train only: train z-scores are standard...
+    ts = train.agg(F.avg("a_z"), F.stddev("a_z")).collect()[0]
+    assert abs(ts[0]) < 1e-9 and abs(ts[1] - 1.0) < 1e-9
+    # ...and the SAME transform applied to val (mean near 0 but not exactly)
+    assert "a_z" in val.columns and "b_z" in test.columns
+    # deterministic: same seed, same split
+    t2, _, _ = MLUtils(df).split_data((0.6, 0.2, 0.2))
+    assert t2.count() == train.count()
+
+
+def test_ml_utils_select_features_by_correlation(spark):
+    from mimic_iv_etl_spark.compat.ml_utils import MLUtils
+
+    df = spark.range(500).select(
+        (F.col("id") * 1.0).alias("y"),
+        (F.col("id") * 2.0).alias("strong"),          # corr 1.0
+        (F.col("id") % 5).cast("double").alias("weak"),
+        F.lit(3.0).alias("constant"),                 # corr undefined → dropped
+    )
+    ml = MLUtils(df)
+    ml.set_target("y")
+    ml.select_features(["strong", "weak", "constant"], "correlation",
+                       correlation_threshold=0.9)
+    assert ml.features == ["strong"]
+    ml.select_features(["strong", "weak", "constant"], "correlation", top_n=2)
+    assert ml.features[0] == "strong" and len(ml.features) == 2
+    ml.select_features(["weak"], "subset")
+    assert ml.features == ["weak"]
+
+
+def test_bigquery_stub_is_honest(spark):
+    with pytest.raises(NotImplementedError):
+        bq.get_spark_session(use_local_data=False)
+    with pytest.raises(NotImplementedError):
+        bq.run_query(spark, "SELECT 1", use_local_data=False)
+
+
 def test_left_merge_dataframes(spark):
     l = spark.createDataFrame([(1, "a"), (2, "b")], "k int, x string")
     r = spark.createDataFrame([(1, "z")], "k int, y string")

@@ -148,6 +148,51 @@ def test_lake_create_append_read_compact(spark, tmp_path):
     assert pruned.count() == b_a.filter(~F.col("_deleted")).count()
 
 
+def test_expire_tombstones_targets_only_tombstone_buckets(spark, tmp_path):
+    """expire_tombstones must rewrite ONLY buckets whose files may hold
+    tombstones (per-file _deleted column stats tracked at write time);
+    tombstone-free buckets keep byte-identical file entries (VERDICT r01
+    scale note)."""
+    path = str(tmp_path / "tbl_exp")
+    tbl = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=8)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, _deleted boolean, _lww_offset long, _lww_partition int"
+    )
+    rows = [(f"c{i}", 0, "user", f"t{i}", None, TS, False, i, 0) for i in range(40)]
+    # delete exactly one conversation → one tombstone bucket
+    rows.append(("c7", 1, None, None, None, TS, True, 99, 0))
+    tbl.append_delta(_internal(spark.createDataFrame(rows, schema), tbl),
+                     summary={"applied_offsets": {"0": 99}})
+    tbl.compact()
+
+    files_before = {e["path"]: e for e in tbl.snapshot["files"]}
+    tomb_bucket = (
+        spark.createDataFrame([("c7",)], "conv_id string")
+        .select(tbl.bucket_expr().alias("b")).collect()[0]["b"]
+    )
+    assert any(e["has_tombstones"] and e["bucket"] == tomb_bucket
+               for e in tbl.snapshot["files"])
+
+    rows_before = {(r["conv_id"], r["turn_idx"]) for r in tbl.read().collect()}
+    tbl.expire_tombstones(str(TS + dt.timedelta(days=1)))
+
+    # untouched buckets keep identical file entries; the tombstone bucket
+    # was rewritten; the tombstone itself is gone from the internal read
+    for e in tbl.snapshot["files"]:
+        if e["bucket"] != tomb_bucket:
+            assert e == files_before[e["path"]], "tombstone-free bucket rewritten"
+    assert all(e["bucket"] == tomb_bucket or e["path"] in files_before
+               for e in tbl.snapshot["files"])
+    assert tbl.read(internal=True).filter(F.col("_deleted")).count() == 0
+    assert {(r["conv_id"], r["turn_idx"]) for r in tbl.read().collect()} == rows_before
+
+    # second pass: nothing to expire → metadata-only no-op (same version)
+    v = tbl.version
+    tbl.expire_tombstones(str(TS + dt.timedelta(days=2)))
+    assert tbl.version == v
+
+
 def test_commit_conflict(spark, tmp_path):
     path = str(tmp_path / "tbl2")
     t1 = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=4)
