@@ -1,11 +1,17 @@
-"""MLUtils facade — the *engine-scope* slice of ``mimicfouretl/ml_utils.py``.
+"""MLUtils facade — ``mimicfouretl/ml_utils.py`` re-expressed distributed.
 
-The reference's ML layer (sklearn/xgboost/optuna/SHAP over ``toPandas``) is a
-single-node consumer of the engine's output, intentionally not ported
-(SURVEY.md §2.11). What IS engine scope and lives here: target/feature
-validation (``ml_utils.py:42-63``), distributed null cleaning (P7, ``:83``),
-correlation features (A11, ``:118-130``), export (S6 → ``sources.io``), and
-the mutation log (S8, ``:529-544`` → the engine's lineage sidecar).
+Engine-scope data ops: target/feature validation (``ml_utils.py:42-63``),
+distributed null cleaning (P7, ``:83``), correlation features (A11,
+``:118-130``), correlation-based feature selection (``:95-140``), split +
+standardization (``:145-196``), export (S6 → ``sources.io``), and the
+mutation log (S8, ``:529-544`` → the engine's lineage sidecar).
+
+The reference's model layer (sklearn/xgboost over a full ``toPandas``,
+``:254-376``) is single-node by construction; the train/evaluate methods here
+are its distributed equivalents on ``pyspark.ml`` (GBT/linear estimators,
+inverse-frequency instance weights instead of pandas-resident SMOTE).
+Deliberately NOT ported: Optuna search and SHAP plots (``:378-527``) —
+driver-side consumers of a fitted model, orthogonal to the engine.
 """
 
 from __future__ import annotations
@@ -144,6 +150,125 @@ class MLUtils:
             )
         self.train, self.val, self.test = train, val, test
         return train, val, test
+
+    # ------------------------------------------------------------- training
+    # The reference trains XGBoost on a driver-side pandas frame with
+    # imblearn SMOTE/undersampling (``ml_utils.py:254-309``) — single-node by
+    # construction. The distributed equivalents below use pyspark.ml (ships
+    # with Spark, no extra deps): gradient-boosted trees / linear models fit
+    # on the DataFrame splits, and class imbalance handled with per-class
+    # instance weights — the cluster-native stand-in for SMOTE, which is a
+    # pandas-resident resampling technique (documented divergence).
+
+    def _assembled(self, df: DataFrame) -> DataFrame:
+        from pyspark.ml.feature import VectorAssembler
+
+        if not self.features or self.target is None:
+            raise ValueError("set_features and set_target must be called first")
+        return VectorAssembler(
+            inputCols=self.features, outputCol="features"
+        ).transform(df)
+
+    def train_regression_model(self, params: dict | None = None,
+                               model_type: str = "gbt"):
+        """Parity: ``ml_utils.py:254-260`` — distributed. ``model_type``:
+        'gbt' (GBTRegressor, the XGBRegressor analogue) or 'linear'."""
+        from pyspark.ml.regression import GBTRegressor, LinearRegression
+
+        cls = GBTRegressor if model_type == "gbt" else LinearRegression
+        est = cls(featuresCol="features", labelCol=self.target, **(params or {}))
+        self.model = est.fit(self._assembled(self.train))
+        return self.model
+
+    def train_classification_model(self, class_weight: bool = True,
+                                   params: dict | None = None,
+                                   model_type: str = "gbt", verbose: bool = False):
+        """Parity: ``ml_utils.py:262-309`` — distributed. Class imbalance is
+        handled with inverse-frequency instance weights (``weightCol``)
+        instead of SMOTE/undersampling: reweighting is shuffle-free and
+        equivalent in expectation to resampling, and it works on data that
+        does not fit on the driver."""
+        from pyspark.ml.classification import GBTClassifier, LogisticRegression
+
+        train = self._assembled(self.train)
+        kwargs = dict(featuresCol="features", labelCol=self.target, **(params or {}))
+        if class_weight:
+            counts = dict(
+                train.groupBy(self.target).count()
+                .rdd.map(lambda r: (r[0], r[1])).collect()
+            )
+            total, k = sum(counts.values()), len(counts)
+            weights = {c: total / (k * n) for c, n in counts.items()}
+            if verbose:
+                print(f"class counts: {counts} → weights: {weights}")
+            expr = None
+            for c, w in weights.items():
+                cond = F.col(self.target) == c
+                expr = F.when(cond, w) if expr is None else expr.when(cond, w)
+            train = train.withColumn("_weight", expr)
+            kwargs["weightCol"] = "_weight"
+        cls = GBTClassifier if model_type == "gbt" else LogisticRegression
+        self.model = cls(**kwargs).fit(train)
+        return self.model
+
+    def _eval_df(self, eval_type: str) -> DataFrame:
+        if eval_type not in ("val", "test", "train"):
+            raise ValueError("eval_type must be 'train', 'val' or 'test'")
+        return self._assembled(getattr(self, eval_type))
+
+    def evaluate_classification_model(self, eval_type: str = "val") -> dict:
+        """Parity: ``ml_utils.py:311-331`` — same metric dict, computed
+        distributed from one confusion-count aggregate (+ MLlib AUC)."""
+        from pyspark.ml.evaluation import BinaryClassificationEvaluator
+
+        pred = self.model.transform(self._eval_df(eval_type))
+        cm = {
+            (int(r["a"]), int(r["p"])): r["n"]
+            for r in pred.groupBy(
+                F.col(self.target).alias("a"),
+                F.col("prediction").cast("int").alias("p"),
+            ).agg(F.count("*").alias("n")).collect()
+        }
+        tp = cm.get((1, 1), 0); tn = cm.get((0, 0), 0)
+        fp = cm.get((0, 1), 0); fn = cm.get((1, 0), 0)
+        total = tp + tn + fp + fn
+        precision = tp / (tp + fp) if tp + fp else 0.0
+        recall = tp / (tp + fn) if tp + fn else 0.0
+        auc = BinaryClassificationEvaluator(
+            labelCol=self.target, metricName="areaUnderROC"
+        ).evaluate(pred)
+        return {
+            "accuracy": (tp + tn) / total if total else 0.0,
+            "precision": precision,
+            "recall": recall,
+            "f1": (2 * precision * recall / (precision + recall)
+                   if precision + recall else 0.0),
+            "auc_roc": auc,
+        }
+
+    def evaluate_regression_model(self, eval_type: str = "val") -> dict:
+        """Parity: ``ml_utils.py:333-352`` — RMSE/MAE/R² via RegressionEvaluator."""
+        from pyspark.ml.evaluation import RegressionEvaluator
+
+        pred = self.model.transform(self._eval_df(eval_type))
+        out = {}
+        for name, metric in (("rmse", "rmse"), ("mae", "mae"), ("r2", "r2")):
+            out[name] = RegressionEvaluator(
+                labelCol=self.target, metricName=metric
+            ).evaluate(pred)
+        return out
+
+    def display_confusion_matrix(self, eval_type: str = "val") -> DataFrame:
+        """Parity: ``ml_utils.py:354-376`` — returns the (label × prediction)
+        count grid as a DataFrame instead of a matplotlib plot."""
+        pred = self.model.transform(self._eval_df(eval_type))
+        return (
+            pred.groupBy(F.col(self.target).alias("label"))
+            .pivot("prediction")
+            .count()
+            .na.fill(0)
+            .orderBy("label")
+        )
 
     def log_changes(self, change_description: str,
                     log_path: str = "data_processing_log.json") -> None:

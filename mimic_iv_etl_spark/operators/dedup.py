@@ -9,10 +9,15 @@
                 Hamming distance within band buckets.
 - n-gram Jaccard: exact verified similarity on candidate pairs.
 
-Signatures are built with higher-order array functions (``transform`` /
-``array_min`` / ``xxhash64``) — whole-stage codegen, no explode of the
-shingle set, no Python. Scale note: every operator here keys its shuffle on a
-hash-uniform value (signature band, text hash), so hot documents don't skew.
+The hot paths (:func:`minhash_band_buckets`, :func:`_simhash_by_id`) run as
+explode → codegen'd hash projection → map-side-combined aggregates: Spark's
+higher-order array functions are CodegenFallback (interpreted), so the
+row-wise array-signature APIs kept for callers who persist signatures are
+NOT the fast path (measured 4×+ slower at sf0.1). The explode is pipelined
+inside whole-stage codegen and the shuffle carries one row per document.
+Scale notes: every operator keys its shuffle on a hash-uniform value
+(signature band, text hash) so hot documents don't skew, and the bucket
+self-joins carry a frequent-bucket cap so degenerate buckets can't square.
 """
 
 from __future__ import annotations
@@ -91,11 +96,12 @@ def minhash_signature(df: DataFrame, text_col: str = "text", n: int = 3,
     functions ``h_i = rotl(h1, r_i) XOR rotl(h2, s_i) XOR c_i`` — the standard
     2-universal "a_i·h1 + b_i·h2" recombination, expressed with rotate/XOR
     because Spark 4 runs ANSI mode by default and 64-bit multiply-add throws
-    on overflow. Cuts per-shingle hash work k/2× vs one xxhash64 per (i,
-    shingle). (Measured at sf0.1, local[32]: minhash_near_dups 11.7s → ~3s;
-    earlier measured note: concat-form xxhash64 beats multi-arg ~1.5×, and
-    the naive "transform over seeds, array_min inside" shape re-evaluates the
-    shingle expression k times per row — 30× slower.)
+    on overflow (estimation accuracy pinned by
+    ``test_minhash_family_estimates_jaccard``).
+
+    This row-wise array API exists for callers who persist signatures; the
+    fast path is :func:`minhash_band_buckets` — HOFs here are interpreted
+    (CodegenFallback), where expression-node count dominates cost.
     """
     max_long = (1 << 63) - 1
     params = _mix_params(k)
@@ -251,8 +257,9 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
 def simhash(df: DataFrame, text_col: str = "text", bits: int = 64,
             alias: str = "simhash") -> DataFrame:
     """SimHash: per-token 64-bit hash; each output bit is the sign of the
-    Σ±1 vote across tokens. Expressed as ``aggregate`` over the token array
-    into a bit-vote array — single pass, no explode, no shuffle."""
+    Σ±1 vote across tokens. Row-wise array API (``aggregate`` over the token
+    array — interpreted, no shuffle); the fast path for bulk scoring is
+    :func:`_simhash_by_id`."""
     # bit counts for shiftright/shiftleft must be Python ints, so the per-bit
     # expressions unroll over range(bits) — 64 codegen'd terms, still no UDF.
     votes = F.aggregate(

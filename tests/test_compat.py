@@ -227,6 +227,46 @@ def test_ml_utils_select_features_by_correlation(spark):
     assert ml.features == ["weak"]
 
 
+def test_ml_utils_train_evaluate_distributed(spark):
+    """pyspark.ml train/evaluate parity: linearly separable synthetic data →
+    near-perfect classification metrics, near-exact regression recovery."""
+    from mimic_iv_etl_spark.compat.ml_utils import MLUtils
+
+    df = spark.range(600).select(
+        (F.col("id") % 3 * 1.0).alias("x1"),
+        (F.rand(seed=7) * 0.1).alias("x2"),
+        (F.col("id") % 3 >= 1).cast("int").alias("label"),
+        (F.col("id") % 3 * 2.0 + 1.0).alias("y"),
+    )
+    ml = MLUtils(df)
+    ml.set_features(["x1", "x2"])
+
+    ml.set_target("label")
+    ml.split_data((0.7, 0.15, 0.15))
+    ml.train_classification_model(model_type="linear")
+    m = ml.evaluate_classification_model("val")
+    assert m["accuracy"] > 0.95 and m["auc_roc"] > 0.95 and m["f1"] > 0.95
+    cm = ml.display_confusion_matrix("val").toPandas()
+    assert set(cm["label"]) == {0, 1}
+
+    ml2 = MLUtils(df)
+    ml2.set_features(["x1"])
+    ml2.set_target("y")
+    ml2.split_data((0.7, 0.15, 0.15))
+    ml2.train_regression_model(model_type="linear")
+    r = ml2.evaluate_regression_model("test")
+    assert r["r2"] > 0.99 and r["rmse"] < 0.1
+
+    # imbalance: weighted training still learns the minority class
+    imb = df.filter((F.col("label") == 0) | (F.col("id") % 11 == 0))
+    ml3 = MLUtils(imb)
+    ml3.set_features(["x1", "x2"])
+    ml3.set_target("label")
+    ml3.split_data((0.8, 0.1, 0.1))
+    ml3.train_classification_model(class_weight=True, model_type="linear")
+    assert ml3.evaluate_classification_model("train")["recall"] > 0.9
+
+
 def test_bigquery_stub_is_honest(spark):
     with pytest.raises(NotImplementedError):
         bq.get_spark_session(use_local_data=False)
