@@ -5,14 +5,19 @@ Each measurement runs in its OWN subprocess (one JVM per parallelism level —
 Spark can't resize local[N] in-process), replaying the same pre-generated
 change log. Results land in BENCH/BASELINE.md.
 
-Noise protocol: the sandbox VM shares a host whose available CPU swings by
-up to ~10× for minutes at a time (measured: the same local[8] leg ranged
-65k→620k events/sec across runs). Two defenses: (1) the two parallelism
-levels are INTERLEAVED across rounds, so one noise epoch cannot bias a whole
-level; (2) per level the BEST round is reported — external contention is
-strictly one-sided noise (it only ever slows), so best-of approximates each
-config's uncontended capability. A 32-way spin calibration is recorded per
-round as a noise diagnostic.
+Measurement-model note: each level is ``taskset``-pinned to exactly its core
+count. In local[N], pandas-UDF Python workers run OUTSIDE the N task threads,
+so an unpinned local[8] run silently consumes ~16 vCPUs — inflating the small
+leg and voiding the N-core-machine emulation (this is how an early round
+measured an impossible local[8] > local[32]).
+
+Noise protocol: the sandbox VM shares a host whose deliverable CPU swings by
+up to ~10× for minutes at a time (measured: the same leg ranged 32k→620k
+events/sec across runs). Defenses: a 32-way spin probe calibrates host
+quietness; a rep is ACCEPTED only when pre- AND post-rep calibration are
+≥85% of observed peak capacity; levels alternate between attempts; the best
+accepted rep per level is reported (external contention is strictly
+one-sided noise — it only ever slows).
 
 Usage:
     python scripts/bench_scaling.py                 # orchestrate both levels
@@ -82,8 +87,12 @@ def measure(cpus: int) -> dict:
     )
     runs = []
     n_timed = int(sys.argv[3]) if len(sys.argv) > 3 else REPS
+    # table on tmpfs for the same reason shuffle dirs are (session.py): the
+    # sandbox has ONE shared disk, so a disk-bound table sink caps throughput
+    # independent of core count; a real cluster writes through per-node disks
+    table_root = "/dev/shm" if os.path.isdir("/dev/shm") else "/tmp"
     for rep in range(n_timed + 1):  # rep 0 = warmup (page cache + JIT), discarded
-        table_dir = f"/tmp/scaling_cdc_table_{cpus}_{os.getpid()}_{time.time_ns()}"
+        table_dir = f"{table_root}/scaling_cdc_table_{cpus}_{os.getpid()}_{time.time_ns()}"
         # full mandated pipeline (north star): JSON payload decode +
         # vectorized NFC normalization + LWW MERGE — not just the raw copy
         out = replay_log(
@@ -121,26 +130,64 @@ def spin_calibration(workers: int = 32, secs: float = 1.0) -> float:
         return sum(p.map(_burn, [secs] * workers)) / secs
 
 
+QUIET_FRACTION = 0.85          # rep accepted only if pre+post calib ≥ this × capacity
+MAX_WALL_MIN = int(os.environ.get("SCALING_MAX_MIN", "45"))
+TARGET_ACCEPTED = int(os.environ.get("SCALING_ACCEPTED", "2"))
+
+
+def _run_level(cpus: int) -> dict:
+    # taskset pins the WHOLE process tree (JVM + pandas-UDF python workers)
+    # to exactly `cpus` vCPUs: in local[N] the Python workers are extra
+    # processes outside the N task threads, so an unpinned local[8] run
+    # consumes ~16 vCPUs of this 32-vCPU box — inflating the small leg and
+    # breaking the "N-core machine" emulation the north rule asks for.
+    p = subprocess.run(
+        ["taskset", "-c", f"0-{cpus - 1}", sys.executable,
+         os.path.abspath(__file__), "--measure", str(cpus), "1"],
+        capture_output=True, text=True, env=dict(os.environ), cwd=REPO,
+    )
+    line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
+    if not line:
+        sys.stderr.write(p.stdout + p.stderr)
+        raise RuntimeError(f"measurement at local[{cpus}] produced no JSON")
+    return json.loads(line[-1])
+
+
 def orchestrate() -> None:
     ensure_log()
-    rounds: dict[int, list[dict]] = {c: [] for c in LEVELS}
-    calib = []
-    for rnd in range(REPS):
-        calib.append(round(spin_calibration() / 1e6, 1))
-        for cpus in LEVELS:  # interleave levels within each round
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__),
-                 "--measure", str(cpus), "1"],
-                capture_output=True, text=True, env=dict(os.environ), cwd=REPO,
-            )
-            line = [ln for ln in p.stdout.splitlines() if ln.startswith("{")]
-            if not line:
-                sys.stderr.write(p.stdout + p.stderr)
-                raise RuntimeError(f"measurement at local[{cpus}] produced no JSON")
-            rounds[cpus].append(json.loads(line[-1]))
-    results = {
-        c: max(rs, key=lambda r: r["events_per_sec"]) for c, rs in rounds.items()
-    }
+    accepted: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    rejected: dict[int, list[dict]] = {c: [] for c in LEVELS}
+    capacity = max(spin_calibration() for _ in range(3))
+    calib: list[float] = []
+    t_start = time.monotonic()
+    turn = 0
+    while (time.monotonic() - t_start) < MAX_WALL_MIN * 60 and any(
+        len(accepted[c]) < TARGET_ACCEPTED for c in LEVELS
+    ):
+        pre = spin_calibration()
+        capacity = max(capacity, pre)
+        if pre < QUIET_FRACTION * capacity:
+            time.sleep(20)  # noisy host epoch — wait, don't waste the window
+            continue
+        # next level still needing accepted reps (alternate when both do)
+        pending = [c for c in LEVELS if len(accepted[c]) < TARGET_ACCEPTED]
+        cpus = pending[turn % len(pending)]
+        turn += 1
+        r = _run_level(cpus)
+        post = spin_calibration()
+        capacity = max(capacity, post)
+        r["calib_pre_miters"] = round(pre / 1e6, 1)
+        r["calib_post_miters"] = round(post / 1e6, 1)
+        ok = post >= QUIET_FRACTION * capacity
+        (accepted if ok else rejected)[cpus].append(r)
+        calib.append(round(pre / 1e6, 1))
+    results = {}
+    degraded = []
+    for c in LEVELS:
+        pool = accepted[c] or rejected[c]
+        if not accepted[c]:
+            degraded.append(c)
+        results[c] = max(pool, key=lambda r: r["events_per_sec"])
 
     lo, hi = LEVELS
     eff = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / (hi / lo)
@@ -154,17 +201,24 @@ def orchestrate() -> None:
             "full mandated pipeline — JSON payload decode (from_json), vectorized\n"
             "NFC text normalization (Arrow pandas UDF), LWW dedup, exactly-once\n"
             "delta commit. Measurement:\n"
-            "apply-loop wall time only (fixture generation excluded); levels\n"
-            f"INTERLEAVED across {REPS} rounds, one discarded warmup before each\n"
-            "timed rep, BEST round per level reported — the sandbox shares a\n"
-            "host whose available CPU swings up to ~10× for minutes (measured),\n"
-            "and external contention is one-sided noise, so best-of under an\n"
-            "interleaved schedule approximates each config's uncontended\n"
-            "capability. Shuffle partitions = core count, shuffle dirs on tmpfs\n"
-            "(a shared single disk serializes local-mode shuffle I/O that a real\n"
-            "cluster distributes across node disks). Sandbox stand-in for N vs\n"
-            "4N executors per BASELINE.md protocol. 32-way spin calibration per\n"
-            f"round (Miter/s, noise diagnostic): {calib}.\n\n"
+            "apply-loop wall time only (fixture generation excluded). Each\n"
+            "level runs `taskset`-pinned to exactly its core count — in\n"
+            "local[N] the pandas-UDF Python workers are processes OUTSIDE the\n"
+            "N task threads, so an unpinned small leg silently uses ~2N vCPUs\n"
+            "and breaks the N-core-machine emulation. The sandbox shares a\n"
+            "host whose deliverable CPU swings up to ~10× for minutes at a\n"
+            "time (measured via a 32-way spin probe), so reps are only\n"
+            f"ACCEPTED when pre- and post-rep calibration show ≥{QUIET_FRACTION:.0%} of peak\n"
+            "capacity; levels alternate, one discarded warmup precedes each\n"
+            "timed rep, and the best accepted rep per level is reported\n"
+            "(external contention is one-sided noise). Shuffle partitions =\n"
+            "core count, shuffle dirs on tmpfs (a shared single disk\n"
+            "serializes local-mode shuffle I/O that a real cluster distributes\n"
+            "across per-node disks). Sandbox stand-in for N vs 4N executors\n"
+            "per BASELINE.md protocol.\n"
+            f"Accepted reps per level: { {c: len(accepted[c]) for c in LEVELS} };\n"
+            f"degraded (no accepted rep, best attempt shown): {degraded or 'none'};\n"
+            f"pre-rep calibrations seen (Miter/s): {calib}.\n\n"
             "| config | events | seconds | events/sec |\n|---|---|---|---|\n"
             + "".join(
                 f"| local[{c}] | {r['events_applied']:,} | {r['seconds']:.2f} | "
@@ -175,7 +229,9 @@ def orchestrate() -> None:
             f"**{eff:.3f}** (criterion ≥ 0.8)\n"
         )
     print(json.dumps({"results": results, "efficiency": round(eff, 4),
-                      "all_rounds": rounds, "spin_calibration_miters": calib}))
+                      "accepted": accepted, "rejected": rejected,
+                      "degraded_levels": degraded,
+                      "capacity_miters": round(capacity / 1e6, 1)}))
 
 
 if __name__ == "__main__":
