@@ -587,6 +587,154 @@ def q_payload_decode(spark, sf):
 
 
 # --------------------------------------------------------------------------
+# Round-2 gate widening: SURVEY §2 IDs previously pinned by pytest only
+# (VERDICT r01 coverage table) now get first-class DuckDB-oracle'd entries.
+# --------------------------------------------------------------------------
+
+def q_conditional_flag(spark, sf):
+    """P9 standalone — feature_engineering.py:155-164 (conditional_feature)."""
+    out = labeling.conditional_feature(_t(spark, sf, "orders"),
+                                       "o_totalprice > 100000", "high_value")
+    return out.select("o_orderkey", "high_value")
+
+
+def q_composite_index_score(spark, sf):
+    """P12/U1 — feature_engineering.py:167-190 (column-expression scoring
+    lambdas + adjustment callbacks, summed JVM-side)."""
+    out = labeling.composite_score(
+        _t(spark, sf, "lineitem"),
+        {"l_quantity": lambda c: F.when(c > 25, 2).otherwise(0),
+         "l_discount": lambda c: F.when(c > 0.05, 1).otherwise(0)},
+        adjustments=[lambda df: F.when(F.col("l_tax") > 0.04, 1).otherwise(0)],
+    )
+    return out.select("l_orderkey", "l_linenumber", "composite_score")
+
+
+def q_window_count_events(spark, sf):
+    """J6 — feature_engineering.py:11-34 count_events: the reference's
+    aggregate+join-back is rewritten as one window (no second scan, no join)."""
+    from mimic_iv_etl_spark.compat.feature_engineering import FeatureEngineering
+
+    fe = FeatureEngineering(_t(spark, sf, "events"), subject_column="user_id")
+    fe.count_events("event_type", "click")
+    return fe.get_processed_data().select("event_id", "user_id",
+                                          "event_type_count")
+
+
+def q_left_merge(spark, sf):
+    """J5 — feature_engineering.py:258-284 left merge with native key dedup."""
+    cust = _t(spark, sf, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_name", "c_acctbal")
+    out = relational.left_merge(
+        _t(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        cust, ["o_custkey"])
+    return out.select("o_orderkey", "o_custkey", "o_totalprice", "c_name",
+                      "c_acctbal")
+
+
+def q_event_duration(spark, sf):
+    """A6 — feature_engineering.py:220-250 measure_event_duration (epoch-second
+    difference between two timestamp columns on one row; here per-user
+    first→last event span)."""
+    from mimic_iv_etl_spark.compat.feature_engineering import FeatureEngineering
+
+    spans = _t(spark, sf, "events").groupBy("user_id").agg(
+        F.min("ts").alias("start_ts"), F.max("ts").alias("end_ts"))
+    fe = FeatureEngineering(spans, subject_column="user_id")
+    fe.measure_event_duration("start_ts", "end_ts", subject_column="user_id")
+    return fe.get_processed_data().select("user_id", "event_duration")
+
+
+def q_ordered_limit(spark, sf):
+    """L1/L2 — query_builder.py:91-110 generate_query(limit). A total order
+    (tiebroken) makes LIMIT deterministic; Spark plans TakeOrderedAndProject
+    (per-partition top-k, no full sort shuffle)."""
+    top = _t(spark, sf, "orders").orderBy(F.col("o_totalprice").desc(),
+                                          F.col("o_orderkey"))
+    qb = QueryBuilder(top, columns=["o_orderkey", "o_totalprice"])
+    return qb.build(limit=100)
+
+
+def q_clean_nulls(spark, sf):
+    """P7 — ml_utils.py:66-90 clean_data (na.drop subset). Nulls injected
+    deterministically (value < 20 → NULL) since the testdata has none."""
+    from mimic_iv_etl_spark.compat.ml_utils import MLUtils
+
+    ev = _t(spark, sf, "events").withColumn(
+        "value", F.when(F.col("value") < 20, None).otherwise(F.col("value")))
+    ml = MLUtils(ev)
+    ml.set_features(["value"])
+    ml.clean_data()
+    return ml.data.select("event_id", "user_id", "value")
+
+
+def q_cross_cooccurrence(spark, sf):
+    """J4 — analysis_utils.py:187-227 cross-dataset co-occurrence: join two
+    relations on a composite key, then ratio-to-group-total with threshold."""
+    from mimic_iv_etl_spark.compat.analysis_utils import (
+        get_cross_dataset_co_occurrence,
+    )
+
+    ev = _t(spark, sf, "events")
+    a = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("subject_id"),
+        F.to_date("ts").alias("hadm_id"),
+        F.col("event_type").alias("a_event"))
+    b = ev.filter(F.col("event_type").isin("purchase", "signup")).select(
+        F.col("user_id").alias("subject_id"),
+        F.to_date("ts").alias("hadm_id"),
+        F.col("event_type").alias("b_event"))
+    a.createOrReplaceTempView("gate_ev_a")
+    b.createOrReplaceTempView("gate_ev_b")
+    out = get_cross_dataset_co_occurrence(spark, "gate_ev_a", "gate_ev_b",
+                                          "a_event", "b_event", threshold=0.1)
+    return out.select("primary_event", "secondary_event",
+                      F.round("frequency", 6).alias("frequency"))
+
+
+def q_csv_roundtrip(spark, sf):
+    """S1+S5 — schema'd CSV sink → schema'd CSV scan (bigquery_utils.py:98's
+    inferSchema replaced by an explicit schema), aggregated for comparison.
+    The oracle reads the original parquet: any CSV round-trip corruption
+    (types, quoting, float repr) breaks the hash."""
+    import tempfile
+
+    from pyspark.sql import types as T
+
+    from mimic_iv_etl_spark.sources.io import export_data, read_csv_with_schema
+
+    sf_tag = os.path.basename(os.path.normpath(sf))
+    out_dir = os.path.join(tempfile.gettempdir(), f"spark_graft_csv_{sf_tag}")
+    ev = _t(spark, sf, "events").select("event_id", "user_id", "event_type",
+                                        "value")
+    export_data(ev, out_dir, fmt="csv")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+    ])
+    back = read_csv_with_schema(spark, out_dir, schema)
+    return back.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.min("value").alias("min_value"),
+        F.max("value").alias("max_value"),
+    )
+
+
+def q_categorical_encode(spark, sf):
+    """F-encode — feature_engineering.py:126-129 (reference body is ``pass``;
+    engine upgrade: deterministic dictionary encoding, broadcast mapping)."""
+    from mimic_iv_etl_spark.compat.feature_engineering import FeatureEngineering
+
+    fe = FeatureEngineering(_t(spark, sf, "events"), subject_column="user_id")
+    fe.encode_categorical(["event_type"])
+    return fe.get_processed_data().select(
+        "event_type", "event_type_encoded").distinct()
+
+
+# --------------------------------------------------------------------------
 # Oracle SQL (DuckDB dialect-compatible ANSI)
 # --------------------------------------------------------------------------
 
@@ -976,6 +1124,76 @@ REGISTRY: dict[str, Entry] = {
                json_extract_string(payload, '$.tool') AS tool_decoded
         FROM read_parquet('{os.path.join(_decode_log_dir(), "tranche-0", "*.parquet")}')
         """,
+    ),
+    "conditional_flag": Entry(
+        q_conditional_flag,
+        "SELECT o_orderkey, CASE WHEN o_totalprice > 100000 THEN 1 ELSE 0 END "
+        "AS high_value FROM orders",
+    ),
+    "composite_index_score": Entry(
+        q_composite_index_score,
+        "SELECT l_orderkey, l_linenumber, "
+        "(CASE WHEN l_quantity > 25 THEN 2 ELSE 0 END "
+        " + CASE WHEN l_discount > 0.05 THEN 1 ELSE 0 END "
+        " + CASE WHEN l_tax > 0.04 THEN 1 ELSE 0 END) AS composite_score "
+        "FROM lineitem",
+    ),
+    "window_count_events": Entry(
+        q_window_count_events,
+        # ::BIGINT — DuckDB window sum(int) is HUGEINT (same artifact as
+        # conditional_count); Spark's window sum is bigint
+        "SELECT event_id, user_id, "
+        "sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) "
+        "OVER (PARTITION BY user_id)::BIGINT AS event_type_count FROM events",
+    ),
+    "left_merge": Entry(
+        q_left_merge,
+        "SELECT o_orderkey, o_custkey, o_totalprice, c_name, c_acctbal "
+        "FROM orders LEFT JOIN customer ON o_custkey = c_custkey",
+    ),
+    "event_duration": Entry(
+        q_event_duration,
+        # floor-of-epoch-seconds difference, matching Spark's ts→long cast
+        "SELECT user_id, "
+        "(epoch_ms(max(ts)) // 1000 - epoch_ms(min(ts)) // 1000)::BIGINT "
+        "AS event_duration FROM events GROUP BY user_id",
+    ),
+    "ordered_limit": Entry(
+        q_ordered_limit,
+        "SELECT o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC, o_orderkey LIMIT 100",
+    ),
+    "clean_nulls": Entry(
+        q_clean_nulls,
+        "SELECT event_id, user_id, value FROM events WHERE value >= 20",
+    ),
+    "cross_cooccurrence": Entry(
+        q_cross_cooccurrence,
+        """
+        WITH a AS (SELECT user_id AS subject_id, ts::date AS hadm_id,
+                          event_type AS a_event FROM events
+                   WHERE event_type IN ('click', 'view')),
+        b AS (SELECT user_id AS subject_id, ts::date AS hadm_id,
+                     event_type AS b_event FROM events
+              WHERE event_type IN ('purchase', 'signup')),
+        j AS (SELECT a_event, b_event, count(*) AS freq
+              FROM a JOIN b USING (subject_id, hadm_id) GROUP BY 1, 2)
+        SELECT a_event AS primary_event, b_event AS secondary_event,
+               round(freq / sum(freq) OVER (PARTITION BY a_event), 6) AS frequency
+        FROM j QUALIFY freq / sum(freq) OVER (PARTITION BY a_event) >= 0.1
+        """,
+    ),
+    "csv_roundtrip": Entry(
+        q_csv_roundtrip,
+        "SELECT event_type, count(*) AS n, sum(event_id)::BIGINT AS sum_event_id, "
+        "min(value) AS min_value, max(value) AS max_value "
+        "FROM events GROUP BY event_type",
+    ),
+    "categorical_encode": Entry(
+        q_categorical_encode,
+        "SELECT DISTINCT event_type, "
+        "(dense_rank() OVER (ORDER BY event_type) - 1)::INT AS event_type_encoded "
+        "FROM events",
     ),
     "cdc_replay": Entry(q_cdc_replay, _cdc_oracle_sql(),
                         "full CDC engine replay vs duckdb_final_state SQL"),
