@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from mimic_iv_etl_spark.cdc.metrics import append_lineage, append_metrics
+from mimic_iv_etl_spark.cdc.profiling import phase
 from mimic_iv_etl_spark.lake.merge import lww_reduce
 from mimic_iv_etl_spark.lake.schema import merge_schemas, schemas_equal
 from mimic_iv_etl_spark.lake.table import BUCKET_COL, LakeTable
@@ -47,17 +48,46 @@ def apply_batch(
     commit_noop: bool = False,
     write_salt: int = 1,
     cache_batch: bool = False,
+    decode_payload: bool = False,
+    normalize: bool = False,
+    source_partitions: list[int] | None = None,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``. Returns stats.
 
     A fully-stale batch (every event at or below the committed high-water
     marks — duplicate delivery / replay after restart) applies nothing; with
     ``commit_noop=True`` it still writes a metadata-only snapshot carrying the
-    batch id (epoch audit trail), otherwise the table is left untouched."""
+    batch id (epoch audit trail), otherwise the table is left untouched.
+
+    ``decode_payload=True`` decodes the JSON ``payload`` column into
+    role/text/tool **after** LWW dedup — the winner per key is chosen by
+    ``(ts, offset, partition)`` alone, so decoding losers is pure waste. At a
+    typical change-log update ratio (≥10 events/key) this removes >90% of the
+    JSON-parse work, which is the apply path's dominant CPU (and its worst
+    scaler: allocation-heavy parsing contends at high core counts).
+    ``normalize=True`` likewise NFC-normalizes winner text only.
+
+    ``source_partitions`` (the complete universe of source-partition ids, e.g.
+    from the log manifest) switches the per-partition offset-range bookkeeping
+    from a separate aggregate job to ``Observation`` metrics collected DURING
+    the write job — exactly one Spark action per batch, which at high core
+    counts removes a fixed ~0.5-1s of per-batch latency that Amdahl-caps
+    scaling. A batch containing a partition outside the list aborts before
+    commit (its staged files are discarded) — silently applying it would
+    leave the offset high-water mark unrecorded and break exactly-once on
+    redelivery."""
     t0 = time.monotonic()
     spark = table.spark
 
+    late_decode = decode_payload and "payload" in batch_df.columns
     data_fields = [f for f in batch_df.schema.fields if f.name not in META_COLS]
+    if late_decode:
+        # decoded columns materialize post-dedup; declare them in the batch
+        # schema so evolution/merge sees the final shape
+        from mimic_iv_etl_spark.functions.textfns import PAYLOAD_SCHEMA
+
+        have = {f.name for f in data_fields}
+        data_fields += [f for f in PAYLOAD_SCHEMA.fields if f.name not in have]
     batch_data_schema = type(table.schema)(data_fields)
     merged = merge_schemas(table.schema, batch_data_schema)
     evolved = not schemas_equal(merged, table.schema)
@@ -86,30 +116,17 @@ def apply_batch(
 
         fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK)
 
-    # the single driver-side aggregate: per-source-partition ranges (≤P rows)
-    ranges = (
-        fresh.groupBy("partition")
-        .agg(
-            F.count("*").alias("events"),
-            F.min("offset").alias("min_offset"),
-            F.max("offset").alias("max_offset"),
-        )
-        .collect()
-    )
-    events_applied = sum(r["events"] for r in ranges)
-
-    if events_applied == 0:
+    def _skipped_stats() -> dict:
         if cache_batch:
             fresh.unpersist()
         if commit_noop:
             table.commit_summary({"batch_id": batch_id, "operation": "noop_batch"})
-        secs = time.monotonic() - t0
         stats = {
             "batch_id": batch_id,
             "events_in": 0,
             "events_applied": 0,
             "winners": 0,
-            "seconds": secs,
+            "seconds": time.monotonic() - t0,
             "events_per_sec": 0.0,
             "touched_buckets": 0,
             "skipped": True,
@@ -119,19 +136,60 @@ def apply_batch(
         append_metrics(table.path, stats)
         return stats
 
-    new_applied = {str(p): o for p, o in applied.items()}
-    for r in ranges:
-        p = str(r["partition"])
-        new_applied[p] = max(int(new_applied.get(p, -1)), int(r["max_offset"]))
+    obs = None
+    if source_partitions is not None:
+        # per-partition ranges observed during the write job — no extra action
+        import uuid
+
+        from pyspark.sql import Observation
+
+        obs = Observation(f"apply_ranges_{uuid.uuid4().hex[:8]}")
+        aggs = [F.count(F.when(
+            ~F.col("partition").isin([int(p) for p in source_partitions]), True
+        )).alias("n_unknown")]
+        for p in source_partitions:
+            cond = F.col("partition") == int(p)
+            aggs += [
+                F.count(F.when(cond, True)).alias(f"n_{p}"),
+                F.min(F.when(cond, F.col("offset"))).alias(f"lo_{p}"),
+                F.max(F.when(cond, F.col("offset"))).alias(f"hi_{p}"),
+            ]
+        fresh = fresh.observe(obs, *aggs)
+        ranges = None
+        events_applied = None
+        new_applied = None
+    else:
+        # the single driver-side aggregate: per-source-partition ranges (≤P rows)
+        with phase("ranges_aggregate"):
+            ranges = (
+                fresh.groupBy("partition")
+                .agg(
+                    F.count("*").alias("events"),
+                    F.min("offset").alias("min_offset"),
+                    F.max("offset").alias("max_offset"),
+                )
+                .collect()
+            )
+        events_applied = sum(r["events"] for r in ranges)
+        if events_applied == 0:
+            return _skipped_stats()
+        new_applied = {str(p): o for p, o in applied.items()}
+        for r in ranges:
+            p = str(r["partition"])
+            new_applied[p] = max(int(new_applied.get(p, -1)), int(r["max_offset"]))
 
     # -- internal candidate rows: data cols aligned to merged schema + stamps --
     have = set(batch_df.columns)
+    decode_names = {"role", "text", "tool"} if late_decode else set()
     data_cols = [
         F.col(f.name).cast(f.dataType).alias(f.name)
         if f.name in have
         else F.lit(None).cast(f.dataType).alias(f.name)
         for f in merged.fields
+        if f.name not in decode_names
     ]
+    if late_decode:
+        data_cols.append(F.col("payload"))
     candidates = fresh.select(
         *data_cols,
         (F.col("op") == F.lit("D")).alias("_deleted"),
@@ -140,14 +198,59 @@ def apply_batch(
     )
 
     winners = lww_reduce(candidates, table.key_cols, mode=dedup_mode)
+    if late_decode:
+        from mimic_iv_etl_spark.functions.textfns import decode_payload_json
+
+        winners = (
+            decode_payload_json(winners)
+            .withColumnRenamed("role_decoded", "role")
+            .withColumnRenamed("text_decoded", "text")
+            .withColumnRenamed("tool_decoded", "tool")
+            .drop("payload")
+        )
+    if normalize and "text" in winners.columns:
+        from mimic_iv_etl_spark.functions.textfns import normalize_text
+
+        winners = winners.withColumn("text", normalize_text(F.col("text")))
     winners = winners.withColumn(BUCKET_COL, table.bucket_expr())
 
-    table.append_delta(
-        winners,
-        new_schema=merged if evolved else None,
-        summary={"applied_offsets": new_applied, "batch_id": batch_id},
-        write_salt=write_salt,
-    )
+    if obs is not None:
+        with phase("append_delta"):
+            entries, schema_id, schemas = table.stage_delta(
+                winners, new_schema=merged if evolved else None,
+                write_salt=write_salt)
+            m = obs.get  # blocks on the write job just run
+            if m["n_unknown"]:
+                table.discard_staged(entries)
+                raise RuntimeError(
+                    f"batch {batch_id} holds {m['n_unknown']} events from "
+                    f"partitions outside source_partitions={source_partitions}"
+                    " — offset bookkeeping would miss them")
+            ranges = [
+                {"partition": int(p), "events": int(m[f"n_{p}"]),
+                 "min_offset": int(m[f"lo_{p}"]), "max_offset": int(m[f"hi_{p}"])}
+                for p in source_partitions if m[f"n_{p}"]
+            ]
+            events_applied = sum(r["events"] for r in ranges)
+            if events_applied == 0:
+                table.discard_staged(entries)
+                return _skipped_stats()
+            new_applied = {str(p): o for p, o in applied.items()}
+            for r in ranges:
+                p = str(r["partition"])
+                new_applied[p] = max(int(new_applied.get(p, -1)),
+                                     int(r["max_offset"]))
+            table.commit_delta(
+                entries, schema_id, schemas,
+                summary={"applied_offsets": new_applied, "batch_id": batch_id})
+    else:
+        with phase("append_delta"):
+            table.append_delta(
+                winners,
+                new_schema=merged if evolved else None,
+                summary={"applied_offsets": new_applied, "batch_id": batch_id},
+                write_salt=write_salt,
+            )
     if cache_batch:
         fresh.unpersist()
 
@@ -168,19 +271,20 @@ def apply_batch(
         "snapshot_version": table.version,
         "lag_events": None,
     }
-    append_metrics(table.path, stats)
-    append_lineage(
-        table.path,
-        [
-            {
-                "batch_id": batch_id,
-                "partition": int(r["partition"]),
-                "min_offset": int(r["min_offset"]),
-                "max_offset": int(r["max_offset"]),
-                "events": int(r["events"]),
-                "snapshot_version": table.version,
-            }
-            for r in ranges
-        ],
-    )
+    with phase("metrics_lineage"):
+        append_metrics(table.path, stats)
+        append_lineage(
+            table.path,
+            [
+                {
+                    "batch_id": batch_id,
+                    "partition": int(r["partition"]),
+                    "min_offset": int(r["min_offset"]),
+                    "max_offset": int(r["max_offset"]),
+                    "events": int(r["events"]),
+                    "snapshot_version": table.version,
+                }
+                for r in ranges
+            ],
+        )
     return stats

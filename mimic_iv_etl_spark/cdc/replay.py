@@ -54,6 +54,30 @@ def _offset_bounds(tranche_dir: str) -> tuple[int, int]:
     return int(lo), int(hi)
 
 
+def _partition_ids(tranche_dir: str, cap: int = 64) -> list[int] | None:
+    """Source-partition universe of a tranche from parquet footer stats only
+    (no data IO). Lets apply_batch fold the offset-range bookkeeping into the
+    write job as Observation metrics (one Spark action per batch). Returns
+    None — the separate-aggregate fallback — when stats are missing or the
+    id range is too wide for conditional aggregates."""
+    lo, hi = None, None
+    for f in sorted(glob.glob(os.path.join(tranche_dir, "*.parquet"))):
+        md = pq.read_metadata(f)
+        try:
+            idx = md.schema.names.index("partition")
+        except ValueError:
+            return None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or st.min is None:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    if lo is None or hi - lo + 1 > cap:
+        return None
+    return list(range(int(lo), int(hi) + 1))
+
+
 def replay_log(
     spark: SparkSession,
     log_dir: str,
@@ -89,25 +113,22 @@ def replay_log(
 
     for tranche in _tranche_dirs(log_dir):
         lo, hi = _offset_bounds(tranche)
+        pids = _partition_ids(tranche)
         df = spark.read.parquet(tranche)
-        if decode_payload and "payload" in df.columns:
-            # the mandated ingest shape (input_hint): events arrive encoded;
-            # reconstruct the data columns from the JSON payload (JVM
-            # from_json) — Catalyst prunes the decode out of jobs that don't
-            # touch the decoded columns (e.g. the offset-range aggregate)
-            from mimic_iv_etl_spark.functions import decode_payload_json
-
-            df = (
-                decode_payload_json(df.drop("role", "text", "tool"))
-                .withColumnRenamed("role_decoded", "role")
-                .withColumnRenamed("text_decoded", "text")
-                .withColumnRenamed("tool_decoded", "tool")
-            )
-        if normalize:
+        late_decode = decode_payload and "payload" in df.columns
+        if late_decode:
+            # the mandated ingest shape (input_hint): events arrive encoded.
+            # The raw columns are dropped here; apply_batch reconstructs them
+            # from the JSON payload AFTER LWW dedup — winners are chosen by
+            # (ts, offset, partition) alone, so only winner payloads are ever
+            # parsed (at a 10:1 update ratio that is 90% less JSON work, the
+            # apply path's dominant and worst-scaling CPU).
+            df = df.drop("role", "text", "tool")
+        elif normalize:
             from mimic_iv_etl_spark.functions import normalize_text
 
             df = df.withColumn("text", normalize_text(F.col("text")))
-        if drop_payload and "payload" in df.columns:
+        if drop_payload and not late_decode and "payload" in df.columns:
             df = df.drop("payload")
         start = lo
         while start <= hi:
@@ -120,7 +141,10 @@ def replay_log(
                 continue
             batch = df.filter((F.col("offset") >= start) & (F.col("offset") < end))
             stats = apply_batch(table, batch, batch_id=batch_seq,
-                                dedup_mode=dedup_mode, write_salt=write_salt)
+                                dedup_mode=dedup_mode, write_salt=write_salt,
+                                decode_payload=late_decode,
+                                normalize=normalize and late_decode,
+                                source_partitions=pids)
             batch_seq += 1
             total_applied += stats["events_applied"]
             if stats["skipped"]:

@@ -49,6 +49,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from mimic_iv_etl_spark.cdc.profiling import phase
 from mimic_iv_etl_spark.lake.merge import lww_reduce
 from mimic_iv_etl_spark.lake.schema import schemas_equal
 
@@ -196,7 +197,10 @@ class LakeTable:
             v = snap["parent"]
             if v is None:
                 break
-            with open(os.path.join(self._meta_dir, f"v{v}.json")) as f:
+            parent_path = os.path.join(self._meta_dir, f"v{v}.json")
+            if not os.path.exists(parent_path):  # expired via expire_snapshots
+                break
+            with open(parent_path) as f:
                 snap = json.load(f)
         return out
 
@@ -243,11 +247,70 @@ class LakeTable:
             return out
         return out.filter(~F.col("_deleted")).drop(*INTERNAL_COLS)
 
+    def changes(self, from_version: int,
+                to_version: int | None = None) -> DataFrame:
+        """Incremental changelog read — CDC *out*, for downstream incremental
+        consumers (the engine-side analogue of Iceberg's changelog scan): net
+        changes committed in ``(from_version, to_version]``, one row per
+        changed key in the current public schema plus ``_change_type``
+        (``'upsert'`` | ``'delete'``).
+
+        Reads ONLY the delta files those commits added — O(changed data),
+        never O(table) — so a consumer polling ``changes(last_seen)`` pays for
+        its lag, not for the table. A key upserted several times in the range
+        collapses to its final value (LWW, same total order as the table).
+        Copy-on-write commits (``compact``/``expire_tombstones``) rewrite
+        physical files without logical changes and contribute nothing; bulk
+        ``overwrite_buckets`` loads are likewise invisible by design.
+        """
+        to_version = self.version if to_version is None else to_version
+        if not 0 <= from_version <= to_version <= self.version:
+            raise ValueError(
+                f"need 0 <= from {from_version} <= to {to_version}"
+                f" <= current {self.version}")
+        added: list[dict] = []
+        snap = self.at_version(to_version).snapshot
+        while snap["version"] > from_version:
+            parent = snap["parent"]
+            parent_path = os.path.join(self._meta_dir, f"v{parent}.json")
+            if not os.path.exists(parent_path):
+                raise ValueError(
+                    f"snapshot v{parent} expired — cannot diff below it")
+            with open(parent_path) as f:
+                parent_snap = json.load(f)
+            parent_files = {e["path"] for e in parent_snap["files"]}
+            added += [e for e in snap["files"]
+                      if e["path"] not in parent_files
+                      and e.get("kind", "base") == "delta"]
+            snap = parent_snap
+        target = self.internal_schema
+        by_schema: dict[str, list[str]] = {}
+        for e in added:
+            by_schema.setdefault(str(e["schema_id"]), []).append(
+                os.path.join(self.path, e["path"]))
+        parts = []
+        for sid, paths in sorted(by_schema.items()):
+            written = _internal_schema(
+                T.StructType.fromJson(self.snapshot["schemas"][sid]))
+            parts.append(_align(self.spark.read.schema(written).parquet(*paths),
+                                target))
+        if parts:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+            out = lww_reduce(out, self.key_cols)
+        else:
+            out = self.spark.createDataFrame([], target)
+        out = out.withColumn(
+            "_change_type",
+            F.when(F.col("_deleted"), F.lit("delete")).otherwise(F.lit("upsert")))
+        return out.drop(*INTERNAL_COLS)
+
     # ----------------------------------------------------------------- write
 
     def _stage_write(
         self, state_df: DataFrame, public: T.StructType, schema_id: int, kind: str,
-        write_salt: int = 1,
+        write_salt: int = 1, n_buckets: int | None = None,
     ) -> list[dict]:
         """Write ``state_df`` (internal schema + ``_bucket`` routing column) as
         bucket-partitioned parquet under a staging dir, then move the files
@@ -268,17 +331,20 @@ class LakeTable:
         # north rule's salted-key splitting applied to hot-conversation
         # buckets (salt derives from the second key column, so rows of one
         # conversation still land in one bucket dir, just in ≤salt files).
+        n_buckets = self.n_buckets if n_buckets is None else n_buckets
         if write_salt > 1:
             salt_col = F.pmod(
                 F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(write_salt)
             )
             aligned = aligned.repartition(
-                self.n_buckets * write_salt, F.col(BUCKET_COL), salt_col
+                n_buckets * write_salt, F.col(BUCKET_COL), salt_col
             )
         else:
-            aligned = aligned.repartition(self.n_buckets, F.col(BUCKET_COL))
-        aligned.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
+            aligned = aligned.repartition(n_buckets, F.col(BUCKET_COL))
+        with phase("stage_spark_write"):
+            aligned.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
         new_entries: list[dict] = []
+        _t_move = time.monotonic()
         for d in sorted(os.listdir(stage)):
             if not d.startswith(f"{BUCKET_COL}="):
                 continue
@@ -304,6 +370,10 @@ class LakeTable:
                     }
                 )
         shutil.rmtree(stage, ignore_errors=True)
+        from mimic_iv_etl_spark.cdc import profiling
+        if profiling._ENABLED:
+            profiling.PHASES["stage_move_footers"] = profiling.PHASES.get(
+                "stage_move_footers", 0.0) + (time.monotonic() - _t_move)
         return new_entries
 
     def _next_schema(
@@ -324,6 +394,7 @@ class LakeTable:
         schemas: dict,
         summary: dict | None,
         operation: str,
+        n_buckets: int | None = None,
     ) -> "LakeTable":
         new_summary = dict(self.summary)
         new_summary.update(summary or {})
@@ -334,14 +405,57 @@ class LakeTable:
             "created_ms": int(time.time() * 1000),
             "schema_id": schema_id,
             "schemas": schemas,
-            "n_buckets": self.n_buckets,
+            "n_buckets": self.n_buckets if n_buckets is None else n_buckets,
             "key_cols": self.key_cols,
             "bucket_by": self.snapshot["bucket_by"],
             "files": files,
             "summary": new_summary,
         }
-        _write_snapshot(self._meta_dir, snap)
+        with phase("snapshot_commit"):
+            _write_snapshot(self._meta_dir, snap)
         return self.refresh()
+
+    def stage_delta(
+        self,
+        winners_df: DataFrame,
+        new_schema: T.StructType | None = None,
+        write_salt: int = 1,
+    ) -> tuple[list[dict], int, dict]:
+        """First half of :meth:`append_delta`: run the write job and land the
+        delta files in ``data/`` WITHOUT committing a snapshot. Returns
+        ``(entries, schema_id, schemas)`` for :meth:`commit_delta`. Until that
+        commit the files are unreferenced (invisible to readers, reclaimable
+        by :meth:`vacuum`) — callers use the gap to inspect metrics observed
+        during the write (e.g. the apply path's per-partition offset ranges)
+        and may abandon a zero-row stage at no cost."""
+        public, schema_id, schemas = self._next_schema(new_schema)
+        entries = self._stage_write(winners_df, public, schema_id, "delta",
+                                    write_salt=write_salt)
+        return entries, schema_id, schemas
+
+    def commit_delta(
+        self,
+        entries: list[dict],
+        schema_id: int,
+        schemas: dict,
+        summary: dict | None = None,
+    ) -> "LakeTable":
+        """Second half of :meth:`append_delta`: snapshot-commit staged files."""
+        out = self._commit(
+            self.snapshot["files"] + entries, schema_id, schemas, summary,
+            "append_delta",
+        )
+        self.last_new_entries = entries
+        return out
+
+    def discard_staged(self, entries: list[dict]) -> None:
+        """Drop files from an abandoned :meth:`stage_delta` (no snapshot ever
+        referenced them, so plain unlinks suffice)."""
+        for e in entries:
+            try:
+                os.remove(os.path.join(self.path, e["path"]))
+            except FileNotFoundError:
+                pass
 
     def append_delta(
         self,
@@ -354,14 +468,9 @@ class LakeTable:
         schema + ``_bucket``) as delta files. Never reads existing data —
         ingest cost is O(batch). ``summary['applied_offsets']`` must be the
         full updated map (the exactly-once source of truth)."""
-        public, schema_id, schemas = self._next_schema(new_schema)
-        entries = self._stage_write(winners_df, public, schema_id, "delta",
-                                    write_salt=write_salt)
-        out = self._commit(
-            self.snapshot["files"] + entries, schema_id, schemas, summary, "append_delta"
-        )
-        self.last_new_entries = entries
-        return out
+        entries, schema_id, schemas = self.stage_delta(
+            winners_df, new_schema=new_schema, write_salt=write_salt)
+        return self.commit_delta(entries, schema_id, schemas, summary)
 
     def overwrite_buckets(
         self,
@@ -396,6 +505,31 @@ class LakeTable:
         )
         return self.overwrite_buckets(state, target)
 
+    def rebucket(self, n_buckets: int) -> "LakeTable":
+        """Partition evolution: rewrite the table into ``n_buckets`` hash
+        buckets. The bucket count chosen at create time stops fitting once a
+        table grows 100× — too few buckets caps write/read parallelism and
+        fattens each pruning unit. This is the one deliberately O(table)
+        maintenance job (like Iceberg's rewrite with a new partition spec);
+        the new bucket function takes effect atomically at the commit, so
+        concurrent readers keep a consistent old snapshot and the next CDC
+        batch routes by the new count via :meth:`bucket_expr`. Tombstones are
+        preserved. Old files become unreferenced history, reclaimed by
+        :meth:`expire_snapshots` + :meth:`vacuum`."""
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        if n_buckets == self.n_buckets:
+            return self
+        new_expr = F.pmod(
+            F.xxhash64(F.col(self.snapshot["bucket_by"])), F.lit(n_buckets)
+        ).cast("int")
+        state = self.read(internal=True).withColumn(BUCKET_COL, new_expr)
+        public, schema_id, schemas = self._next_schema(None)
+        entries = self._stage_write(state, public, schema_id, "base",
+                                    n_buckets=n_buckets)
+        return self._commit(entries, schema_id, schemas, None, "rebucket",
+                            n_buckets=n_buckets)
+
     def expire_tombstones(self, older_than_ts: str) -> "LakeTable":
         """Maintenance: drop tombstones with ``ts < older_than_ts`` (a
         watermark: only safe once no in-flight event can be older); newer
@@ -418,6 +552,61 @@ class LakeTable:
         )
         state = state.withColumn(BUCKET_COL, self.bucket_expr())
         return self.overwrite_buckets(state, tomb_buckets)
+
+    def expire_snapshots(self, keep_last: int = 10) -> list[int]:
+        """Maintenance: drop snapshot metadata older than the newest
+        ``keep_last`` versions (the current snapshot is always kept). Time
+        travel and ``changes()`` below the oldest retained version stop
+        working, by design; the data files those snapshots referenced become
+        unreferenced and are reclaimed by :meth:`vacuum`. Returns the expired
+        version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        cutoff = self.version - keep_last + 1
+        expired = []
+        for fn in os.listdir(self._meta_dir):
+            if not (fn.startswith("v") and fn.endswith(".json")):
+                continue
+            v = int(fn[1:-5])
+            if v < cutoff:
+                os.remove(os.path.join(self._meta_dir, fn))
+                expired.append(v)
+        return sorted(expired)
+
+    def vacuum(self, grace_seconds: float = 3600.0) -> dict[str, int]:
+        """Garbage-collect files no retained snapshot references: staging dirs
+        and data files stranded by a crash between staging and commit, plus
+        files whose every referencing snapshot was expired. ``grace_seconds``
+        of mtime age protects a concurrent writer's just-staged files (its
+        snapshot commit may land after our listing). Driver-side metadata +
+        listing only — no data IO, no Spark job."""
+        now = time.time()
+        referenced: set[str] = set()
+        for fn in os.listdir(self._meta_dir):
+            if fn.startswith("v") and fn.endswith(".json"):
+                with open(os.path.join(self._meta_dir, fn)) as f:
+                    referenced |= {e["path"] for e in json.load(f)["files"]}
+        removed = {"data_files": 0, "staging_dirs": 0}
+        stage_root = os.path.join(self.path, "_staging")
+        if os.path.isdir(stage_root):
+            for d in os.listdir(stage_root):
+                p = os.path.join(stage_root, d)
+                if now - os.path.getmtime(p) >= grace_seconds:
+                    shutil.rmtree(p, ignore_errors=True)
+                    removed["staging_dirs"] += 1
+        if os.path.isdir(self._data_dir):
+            for bdir in os.listdir(self._data_dir):
+                bpath = os.path.join(self._data_dir, bdir)
+                if not os.path.isdir(bpath):
+                    continue
+                for fn in os.listdir(bpath):
+                    abs_path = os.path.join(bpath, fn)
+                    rel = os.path.relpath(abs_path, self.path)
+                    if (rel not in referenced
+                            and now - os.path.getmtime(abs_path) >= grace_seconds):
+                        os.remove(abs_path)
+                        removed["data_files"] += 1
+        return removed
 
     def commit_summary(self, summary: dict) -> "LakeTable":
         """Metadata-only commit (e.g. marking a batch applied with zero rows)."""

@@ -467,6 +467,39 @@ def _cdc_oracle_sql() -> str:
     """
 
 
+def q_cdc_changes(spark, sf):
+    """Incremental changelog read (CDC *out*): after the gate replay, the
+    net changes since table creation = the global LWW winner per key with
+    deletes as typed rows (``lake/table.py::LakeTable.changes``). Reads only
+    the delta files the replay commits added — a downstream consumer pays for
+    its lag, never for the table. Oracle: the duckdb_final_state window SQL
+    WITHOUT the delete filter, plus the op→change-type mapping."""
+    from mimic_iv_etl_spark.lake.table import LakeTable
+
+    q_cdc_replay(spark, sf)  # idempotent: resumes/no-ops when complete
+    _, table_dir, _ = _cdc_fixture(sf)
+    return LakeTable(spark, table_dir).changes(0)
+
+
+def _cdc_changes_oracle_sql() -> str:
+    log_dir, _, _ = _cdc_fixture(_GATE_SF)
+    glob_path = os.path.join(log_dir, "tranche-*", "*.parquet")
+    return f"""
+        WITH ranked AS (
+            SELECT *, row_number() OVER (
+                PARTITION BY conv_id, turn_idx
+                ORDER BY ts DESC, "offset" DESC, partition DESC
+            ) AS rn
+            FROM read_parquet('{glob_path}', union_by_name=true)
+        )
+        SELECT conv_id, turn_idx, role, text, tool, ts, tool_version,
+               latency_ms,
+               CASE WHEN op = 'D' THEN 'delete' ELSE 'upsert' END
+                   AS _change_type
+        FROM ranked WHERE rn = 1
+    """
+
+
 def q_distinct_keys(spark, sf):
     """A10 — distinct before key extraction (ml_readmission_risk.ipynb cells
     14/21/31 collect this; the engine keeps it distributed)."""
@@ -1197,6 +1230,8 @@ REGISTRY: dict[str, Entry] = {
     ),
     "cdc_replay": Entry(q_cdc_replay, _cdc_oracle_sql(),
                         "full CDC engine replay vs duckdb_final_state SQL"),
+    "cdc_changes": Entry(q_cdc_changes, _cdc_changes_oracle_sql(),
+                         "incremental changelog read (CDC out) vs window SQL"),
     # ---- non-SQL-expressible (rows-only driver check) ----
     "minhash_near_dups": Entry(q_minhash_near_dups, None,
                                "xxhash64-based LSH candidates"),
