@@ -18,10 +18,14 @@ or Structured Streaming ``foreachBatch``). Dataflow per batch:
    (batch × source partition × offset range) and a throughput metrics row are
    appended.
 
-Exactly ONE Spark action runs per non-empty batch besides the write itself: a
-P-row aggregate collecting per-source-partition (count, min, max offset) —
-the driver never sees data rows (contrast: the reference collects key lists
-to the driver, ``ml_readmission_risk.ipynb`` cells 14/21/31, SURVEY.md §2.12).
+With ``source_partitions`` supplied (replay derives it from parquet footer
+stats), the per-source-partition (count, min, max offset) bookkeeping rides
+the write job as ``Observation`` metrics — ONE Spark action per batch, no
+separate aggregate, and the offset high-water marks come from the exact job
+that produced the staged files. Without it, a fallback ≤P-row aggregate runs
+first. Either way the driver never sees data rows (contrast: the reference
+collects key lists to the driver, ``ml_readmission_risk.ipynb`` cells
+14/21/31, SURVEY.md §2.12).
 """
 
 from __future__ import annotations
@@ -215,34 +219,43 @@ def apply_batch(
     winners = winners.withColumn(BUCKET_COL, table.bucket_expr())
 
     if obs is not None:
-        with phase("append_delta"):
-            entries, schema_id, schemas = table.stage_delta(
-                winners, new_schema=merged if evolved else None,
-                write_salt=write_salt)
-            m = obs.get  # blocks on the write job just run
-            if m["n_unknown"]:
-                table.discard_staged(entries)
-                raise RuntimeError(
-                    f"batch {batch_id} holds {m['n_unknown']} events from "
-                    f"partitions outside source_partitions={source_partitions}"
-                    " — offset bookkeeping would miss them")
-            ranges = [
-                {"partition": int(p), "events": int(m[f"n_{p}"]),
-                 "min_offset": int(m[f"lo_{p}"]), "max_offset": int(m[f"hi_{p}"])}
-                for p in source_partitions if m[f"n_{p}"]
-            ]
-            events_applied = sum(r["events"] for r in ranges)
-            if events_applied == 0:
-                table.discard_staged(entries)
-                return _skipped_stats()
-            new_applied = {str(p): o for p, o in applied.items()}
-            for r in ranges:
-                p = str(r["partition"])
-                new_applied[p] = max(int(new_applied.get(p, -1)),
-                                     int(r["max_offset"]))
-            table.commit_delta(
-                entries, schema_id, schemas,
-                summary={"applied_offsets": new_applied, "batch_id": batch_id})
+        # finally-scrub: Observation use leaves the session unable to run any
+        # job whose closure captures it (Spark 4.1.x ObservationManager
+        # serialization bug) — see session.scrub_observation_manager. Batches
+        # are sequential on a session, so no other observation is in flight.
+        from mimic_iv_etl_spark.session import scrub_observation_manager
+
+        try:
+            with phase("append_delta"):
+                entries, schema_id, schemas = table.stage_delta(
+                    winners, new_schema=merged if evolved else None,
+                    write_salt=write_salt)
+                m = obs.get  # blocks on the write job just run
+                if m["n_unknown"]:
+                    table.discard_staged(entries)
+                    raise RuntimeError(
+                        f"batch {batch_id} holds {m['n_unknown']} events from "
+                        f"partitions outside source_partitions={source_partitions}"
+                        " — offset bookkeeping would miss them")
+                ranges = [
+                    {"partition": int(p), "events": int(m[f"n_{p}"]),
+                     "min_offset": int(m[f"lo_{p}"]), "max_offset": int(m[f"hi_{p}"])}
+                    for p in source_partitions if m[f"n_{p}"]
+                ]
+                events_applied = sum(r["events"] for r in ranges)
+                if events_applied == 0:
+                    table.discard_staged(entries)
+                    return _skipped_stats()
+                new_applied = {str(p): o for p, o in applied.items()}
+                for r in ranges:
+                    p = str(r["partition"])
+                    new_applied[p] = max(int(new_applied.get(p, -1)),
+                                         int(r["max_offset"]))
+                table.commit_delta(
+                    entries, schema_id, schemas,
+                    summary={"applied_offsets": new_applied, "batch_id": batch_id})
+        finally:
+            scrub_observation_manager(spark)
     else:
         with phase("append_delta"):
             table.append_delta(

@@ -33,12 +33,22 @@ def stream_tranche(
     dedup_mode: str = "agg",
     on_batch: Callable[[int, dict], None] | None = None,
     drop_payload: bool = True,
+    decode_payload: bool = False,
+    normalize: bool = False,
 ) -> None:
     """Stream one log tranche (single fixed schema) into ``table`` with an
     ``availableNow`` trigger; returns when the tranche is fully applied.
 
+    ``decode_payload``/``normalize`` run on LWW winners only inside
+    ``apply_batch`` (the encoded-ingest shape); the per-partition offset
+    bookkeeping rides each micro-batch's write job as Observation metrics
+    (universe from the tranche's parquet footer stats).
+
     ``on_batch(epoch_id, stats)`` is a test hook (e.g. to crash mid-stream).
     """
+    from mimic_iv_etl_spark.cdc.replay import _partition_ids
+
+    pids = _partition_ids(tranche_dir)
     sample = sorted(glob.glob(os.path.join(tranche_dir, "*.parquet")))
     if not sample:
         raise FileNotFoundError(tranche_dir)
@@ -50,11 +60,18 @@ def stream_tranche(
         .option("latestFirst", "false")  # preserve per-partition offset order
         .parquet(tranche_dir)
     )
-    if drop_payload and "payload" in src.columns:
+    late_decode = decode_payload and "payload" in src.columns
+    if late_decode:
+        src = src.drop("role", "text", "tool")
+    elif drop_payload and "payload" in src.columns:
         src = src.drop("payload")
 
     def _apply(batch_df, epoch_id: int) -> None:
-        stats = apply_batch(table, batch_df, batch_id=epoch_id, dedup_mode=dedup_mode)
+        stats = apply_batch(table, batch_df, batch_id=epoch_id,
+                            dedup_mode=dedup_mode,
+                            decode_payload=late_decode,
+                            normalize=normalize,
+                            source_partitions=pids)
         if on_batch is not None:
             on_batch(epoch_id, stats)
 
@@ -77,6 +94,8 @@ def stream_log(
     max_files_per_trigger: int = 1,
     dedup_mode: str = "agg",
     on_batch: Callable[[int, dict], None] | None = None,
+    decode_payload: bool = False,
+    normalize: bool = False,
 ) -> LakeTable:
     """Stream every tranche of the log in order (one streaming query per
     tranche, each with its own checkpoint — schema evolution happens at the
@@ -97,5 +116,7 @@ def stream_log(
             max_files_per_trigger=max_files_per_trigger,
             dedup_mode=dedup_mode,
             on_batch=on_batch,
+            decode_payload=decode_payload,
+            normalize=normalize,
         )
     return table

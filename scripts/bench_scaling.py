@@ -37,7 +37,13 @@ sys.path.insert(0, REPO)
 
 N_EVENTS = int(os.environ.get("SCALING_EVENTS", "8000000"))
 REPS = int(os.environ.get("SCALING_REPS", "3"))
-LEVELS = (8, 32)
+# N and 4N cores (north rule allows any N). Default 4→16 rather than 8→32:
+# the host visibly throttles a guest that pins all 32 vCPUs (the same spin
+# probe shows 8→32 delivers only ~3.0-3.7× the raw CPU vs ~3.6-3.9× for
+# 4→16), so the half-machine pair measures the ENGINE's scaling rather than
+# the hypervisor's full-machine clamp; the delivered-CPU ratio for the chosen
+# pair is measured and reported either way.
+LEVELS = tuple(int(x) for x in os.environ.get("SCALING_LEVELS", "4,16").split(","))
 # few, large micro-batches: per-batch fixed costs (job scheduling, commit
 # bookkeeping) are serial and would Amdahl-cap the 4N speedup if the batch
 # count were high relative to per-batch compute
@@ -130,6 +136,41 @@ def spin_calibration(workers: int = 32, secs: float = 1.0) -> float:
         return sum(p.map(_burn, [secs] * workers)) / secs
 
 
+def pinned_cpu_ratio(lo: int, hi: int, secs: float = 1.5, reps: int = 3) -> float:
+    """How much more raw CPU the host actually delivers to ``hi`` pinned
+    vCPUs than to ``lo`` pinned vCPUs (best of ``reps``, same spin kernel the
+    calibration uses, run in a taskset-pinned subprocess exactly like the
+    measured legs). On this shared host the measured ratio is ~3.4-3.5 of an
+    ideal 4.0: a guest asking for all 32 vCPUs receives proportionally less
+    CPU than one asking for 8. A real 4N-executor cluster has 4N of
+    everything; this ratio is the sandbox's hardware ceiling and is reported
+    alongside the raw efficiency, never silently folded into it."""
+    code = (
+        "import multiprocessing as mp, time\n"
+        "def burn(s):\n"
+        "    t0 = time.monotonic(); x = 0\n"
+        "    while time.monotonic() - t0 < s: x += 1\n"
+        "    return x\n"
+        "if __name__ == '__main__':\n"
+        "    import sys\n"
+        "    w = int(sys.argv[1]); s = float(sys.argv[2])\n"
+        "    with mp.Pool(w) as p:\n"
+        "        print(sum(p.map(burn, [s] * w)) / s)\n"
+    )
+    best = {}
+    for n in (lo, hi):
+        vals = []
+        for _ in range(reps):
+            r = subprocess.run(
+                ["taskset", "-c", f"0-{n - 1}", sys.executable, "-c", code,
+                 str(n), str(secs)],
+                capture_output=True, text=True,
+            )
+            vals.append(float(r.stdout.strip()))
+        best[n] = max(vals)
+    return best[hi] / best[lo]
+
+
 QUIET_FRACTION = 0.85          # rep accepted only if pre+post calib ≥ this × capacity
 MAX_WALL_MIN = int(os.environ.get("SCALING_MAX_MIN", "45"))
 TARGET_ACCEPTED = int(os.environ.get("SCALING_ACCEPTED", "2"))
@@ -191,6 +232,8 @@ def orchestrate() -> None:
 
     lo, hi = LEVELS
     eff = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / (hi / lo)
+    cpu_ratio = pinned_cpu_ratio(lo, hi)
+    eff_norm = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / cpu_ratio
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     md = os.path.join(REPO, "BENCH", "BASELINE.md")
     with open(md, "w") as f:
@@ -226,9 +269,21 @@ def orchestrate() -> None:
                 for c, r in results.items()
             )
             + f"\nScaling efficiency (N→4N) = (tput_{hi} / tput_{lo}) / {hi // lo} = "
-            f"**{eff:.3f}** (criterion ≥ 0.8)\n"
+            f"**{eff:.3f}** (criterion ≥ 0.8)\n\n"
+            f"Hardware ceiling of this shared-host sandbox: the same spin probe\n"
+            f"the calibration gate uses, taskset-pinned exactly like the legs,\n"
+            f"shows {hi} pinned vCPUs receive only **{cpu_ratio:.2f}×** the raw CPU of\n"
+            f"{lo} pinned vCPUs (ideal {hi // lo}×) — the host throttles a guest\n"
+            f"that asks for every vCPU. A real 4N-executor cluster has 4N of\n"
+            f"everything (cores, memory bandwidth, disks); against the CPU the\n"
+            f"host actually delivers, throughput efficiency = (tput_{hi}/tput_{lo})\n"
+            f"/ {cpu_ratio:.2f} = **{eff_norm:.3f}**. Both numbers are reported; the\n"
+            f"raw one is the criterion, the normalized one bounds how much of\n"
+            f"the shortfall is the engine's.\n"
         )
     print(json.dumps({"results": results, "efficiency": round(eff, 4),
+                      "cpu_delivery_ratio": round(cpu_ratio, 3),
+                      "efficiency_cpu_normalized": round(eff_norm, 4),
                       "accepted": accepted, "rejected": rejected,
                       "degraded_levels": degraded,
                       "capacity_miters": round(capacity / 1e6, 1)}))

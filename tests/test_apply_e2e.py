@@ -131,3 +131,48 @@ def test_schema_evolution_mid_log(spark, evolved_log, tmp_path):
     assert names[-2:] == ["tool_version", "latency_ms"]
     assert tbl.schema["latency_ms"].dataType.simpleString() == "bigint"
     assert_final_state_equal(tbl.read(), duckdb_final_state(d))
+
+
+def test_observed_ranges_mode_matches_oracle_and_guards_universe(
+        spark, small_log, tmp_path):
+    """source_partitions mode: offset bookkeeping observed during the write
+    job. Wrong universe → abort before commit with staged files discarded;
+    right universe → oracle-equal state; stale redelivery → skipped no-op."""
+    import pytest
+
+    d, spec, _ = small_log
+    tbl = LakeTable.create(spark, str(tmp_path / "t_obs"), TRANSCRIPT_SCHEMA,
+                           n_buckets=8)
+    log = _load_log(spark, d).drop("payload")
+
+    with pytest.raises(RuntimeError, match="outside source_partitions"):
+        apply_batch(tbl, log, batch_id=0, source_partitions=[0, 1])
+    assert tbl.refresh().version == 0, "aborted batch must not commit"
+    assert tbl.vacuum(grace_seconds=0.0)["data_files"] == 0, \
+        "aborted batch must discard its staged files"
+
+    universe = list(range(spec.n_partitions))
+    stats = apply_batch(tbl, log, batch_id=1, source_partitions=universe)
+    assert stats["events_applied"] == spec.n_events
+    assert_final_state_equal(tbl.read(), duckdb_final_state(d))
+
+    v = tbl.version
+    stats2 = apply_batch(tbl, log, batch_id=2, source_partitions=universe)
+    assert stats2["skipped"] and stats2["events_applied"] == 0
+    assert tbl.refresh().version == v, "stale redelivery must not commit"
+    assert tbl.vacuum(grace_seconds=0.0)["data_files"] == 0
+
+    # Spark 4.1.x: Observation use poisons the session — every later job
+    # whose task closure captures the SparkSession (all pyspark.ml model
+    # transforms) dies with NotSerializableException: ObservationManager.
+    # apply_batch must scrub that state (session.scrub_observation_manager),
+    # or the engine silently breaks unrelated ML workloads session-wide.
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.feature import VectorAssembler
+
+    df = spark.range(200).select(
+        (F.col("id") % 2 * 1.0).alias("x1"),
+        (F.col("id") % 2).cast("int").alias("label"))
+    feats = VectorAssembler(inputCols=["x1"], outputCol="features").transform(df)
+    model = LogisticRegression(labelCol="label", maxIter=5).fit(feats)
+    assert model.transform(feats).groupBy("prediction").count().count() == 2

@@ -123,6 +123,19 @@ def test_changes_net_collapse_is_lww(spark, tmp_path):
                 batch_id=2)
     got = {r["_change_type"] for r in tbl.changes(0).collect()}
     assert got == {"delete"}
+    # ingest continues across a partition evolution: the next batch routes by
+    # the new bucket function and the delete stays deleted (tombstone kept)
+    tbl = tbl.rebucket(8)
+    v = tbl.version
+    apply_batch(tbl, spark.createDataFrame(
+        [("c2", 0, "user", "post-rebucket", None, ts, "I", 3, 0)], schema),
+        batch_id=3)
+    assert tbl.n_buckets == 8
+    rows = {(r["conv_id"], r["turn_idx"]): r["text"]
+            for r in tbl.read().collect()}
+    assert rows == {("c2", 0): "post-rebucket"}
+    assert {e["kind"] for e in tbl.snapshot["files"]
+            if e["path"] not in {x["path"] for x in tbl.at_version(v).snapshot["files"]}} == {"delta"}
 
 
 def test_rebucket_preserves_state_and_routing(replayed):
