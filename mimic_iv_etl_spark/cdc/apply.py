@@ -12,20 +12,27 @@ or Structured Streaming ``foreachBatch``). Dataflow per batch:
    (SURVEY.md §4.3 item 5).
 3. **LWW dedup** — one winner per ``(conv_id, turn_idx)`` by
    ``(ts, offset, partition)`` via skew-proof ``max_by`` partial aggregation
-   (reference precedent: latest-record-per-key, ``feature_engineering.py:238-240``).
+   (reference precedent: latest-record-per-key, ``feature_engineering.py:238-240``),
+   or the bucket-fused single-shuffle variant (``dedup_mode='bucket'``).
 4. **Commit** — winners land as merge-on-read delta files (O(batch) IO),
    snapshot tagged with the updated applied-offset map; lineage rows
    (batch × source partition × offset range) and a throughput metrics row are
    appended.
 
-With ``source_partitions`` supplied (replay derives it from parquet footer
-stats), the per-source-partition (count, min, max offset) bookkeeping rides
-the write job as ``Observation`` metrics — ONE Spark action per batch, no
-separate aggregate, and the offset high-water marks come from the exact job
-that produced the staged files. Without it, a fallback ≤P-row aggregate runs
-first. Either way the driver never sees data rows (contrast: the reference
-collects key lists to the driver, ``ml_readmission_risk.ipynb`` cells
-14/21/31, SURVEY.md §2.12).
+Offset-range bookkeeping, cheapest first:
+
+- ``manifest_ranges`` — the log's manifest declares DENSE per-partition offset
+  ranges (the WAL contract: offsets are a gapless per-partition sequence), so
+  the applied ranges are pure window arithmetic: ZERO runtime aggregation,
+  no extra Spark action, and a fully-stale batch skips without any scan.
+- ``source_partitions`` — the universe of partition ids is known but ranges
+  are not: per-partition (count, min, max) ride the write job as
+  ``Observation`` metrics — one Spark action per batch.
+- neither — a fallback ≤P-row aggregate runs first.
+
+Either way the driver never sees data rows (contrast: the reference collects
+key lists to the driver, ``ml_readmission_risk.ipynb`` cells 14/21/31,
+SURVEY.md §2.12).
 """
 
 from __future__ import annotations
@@ -37,11 +44,41 @@ from pyspark.sql import functions as F
 
 from mimic_iv_etl_spark.cdc.metrics import append_lineage, append_metrics
 from mimic_iv_etl_spark.cdc.profiling import phase
-from mimic_iv_etl_spark.lake.merge import lww_reduce
+from mimic_iv_etl_spark.lake.merge import lww_bucket_fused, lww_reduce
 from mimic_iv_etl_spark.lake.schema import merge_schemas, schemas_equal
 from mimic_iv_etl_spark.lake.table import BUCKET_COL, LakeTable
 
 META_COLS = ("op", "offset", "partition", "payload")
+
+# above this many committed partitions the literal hwm predicate stops being
+# a win over a broadcast-join filter (expression size, codegen limits)
+_HWM_PREDICATE_CAP = 64
+
+
+def _hwm_filter(batch_df: DataFrame, applied: dict[int, int]) -> DataFrame:
+    """Exactly-once row filter: keep events strictly beyond the committed
+    per-partition high-water marks. For a bounded partition count this is a
+    literal codegen'd predicate (no broadcast, no join stage); beyond the cap
+    it falls back to a broadcast-joined lookup."""
+    if not applied:
+        return batch_df
+    if len(applied) <= _HWM_PREDICATE_CAP:
+        pred = None
+        known = None
+        for p, o in sorted(applied.items()):
+            clause = (F.col("partition") == int(p)) & (F.col("offset") > int(o))
+            is_p = F.col("partition") == int(p)
+            pred = clause if pred is None else (pred | clause)
+            known = is_p if known is None else (known | is_p)
+        # events from partitions with no committed hwm are always fresh
+        return batch_df.filter(pred | ~known)
+    rows = [(int(p), int(o)) for p, o in applied.items()]
+    hwm = batch_df.sparkSession.createDataFrame(rows, "partition int, _hwm long")
+    return (
+        batch_df.join(F.broadcast(hwm), "partition", "left")
+        .filter(F.col("offset") > F.coalesce(F.col("_hwm"), F.lit(-1)))
+        .drop("_hwm")
+    )
 
 
 def apply_batch(
@@ -55,6 +92,7 @@ def apply_batch(
     decode_payload: bool = False,
     normalize: bool = False,
     source_partitions: list[int] | None = None,
+    manifest_ranges: dict[int, tuple[int, int]] | None = None,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``. Returns stats.
 
@@ -71,15 +109,25 @@ def apply_batch(
     scaler: allocation-heavy parsing contends at high core counts).
     ``normalize=True`` likewise NFC-normalizes winner text only.
 
-    ``source_partitions`` (the complete universe of source-partition ids, e.g.
-    from the log manifest) switches the per-partition offset-range bookkeeping
-    from a separate aggregate job to ``Observation`` metrics collected DURING
-    the write job — exactly one Spark action per batch, which at high core
-    counts removes a fixed ~0.5-1s of per-batch latency that Amdahl-caps
-    scaling. A batch containing a partition outside the list aborts before
-    commit (its staged files are discarded) — silently applying it would
-    leave the offset high-water mark unrecorded and break exactly-once on
-    redelivery."""
+    ``dedup_mode='bucket'`` fuses LWW dedup onto a bucket-aligned shuffle:
+    candidates are hash-partitioned once by the table's bucket expression
+    (plus a key-derived salt when ``write_salt > 1`` — hot-conversation
+    splitting), the per-key ``max_by`` runs in-partition with no further
+    exchange, and winners land in the writer ALREADY partitioned — exactly
+    ONE wide shuffle per batch instead of two.
+
+    ``manifest_ranges`` — per-source-partition ``(min, max)`` offset ranges
+    present in ``batch_df``, DENSE per the WAL contract (gapless per-partition
+    sequences; ``changelog.py`` stamps ``dense_offsets: true``). With it the
+    exactly-once bookkeeping is window arithmetic: no Observation, no extra
+    aggregate, and a fully-stale batch is skipped without reading any data.
+
+    ``source_partitions`` (the universe of source-partition ids, no ranges)
+    switches the bookkeeping to ``Observation`` metrics collected DURING the
+    write job — still exactly one Spark action per batch. A batch containing
+    a partition outside the list aborts before commit (staged files are
+    discarded) — silently applying it would leave the offset high-water mark
+    unrecorded and break exactly-once on redelivery."""
     t0 = time.monotonic()
     spark = table.spark
 
@@ -96,33 +144,9 @@ def apply_batch(
     merged = merge_schemas(table.schema, batch_data_schema)
     evolved = not schemas_equal(merged, table.schema)
 
-    # -- exactly-once: keep only offsets beyond the committed high-water mark --
     applied = table.applied_offsets
-    if applied:
-        rows = [(int(p), int(o)) for p, o in applied.items()]
-        hwm = spark.createDataFrame(rows, "partition int, _hwm long")
-        fresh = (
-            batch_df.join(F.broadcast(hwm), "partition", "left")
-            .filter(F.col("offset") > F.coalesce(F.col("_hwm"), F.lit(-1)))
-            .drop("_hwm")
-        )
-    else:
-        fresh = batch_df
-
-    # Optional: cache the filtered batch so the range aggregate and the
-    # dedup+write job share one source scan. Usually unnecessary — the ranges
-    # job reads only (offset, partition) after column pruning, so the second
-    # scan is cheap — and at high core counts cache materialization costs
-    # more than it saves (measured). MEMORY_AND_DISK so oversized batches
-    # spill instead of OOMing.
-    if cache_batch:
-        from pyspark import StorageLevel
-
-        fresh = fresh.persist(StorageLevel.MEMORY_AND_DISK)
 
     def _skipped_stats() -> dict:
-        if cache_batch:
-            fresh.unpersist()
         if commit_noop:
             table.commit_summary({"batch_id": batch_id, "operation": "noop_batch"})
         stats = {
@@ -141,15 +165,56 @@ def apply_batch(
         return stats
 
     obs = None
-    if source_partitions is not None:
+    ranges: list[dict] | None = None
+    events_applied: int | None = None
+    new_applied: dict[str, int] | None = None
+
+    if manifest_ranges is not None:
+        # -- dense-offset arithmetic: applied range = window ∩ (hwm, ...] --
+        ranges = []
+        for p, (lo, hi) in sorted(manifest_ranges.items()):
+            lo = max(int(lo), applied.get(int(p), -1) + 1)
+            if lo <= int(hi):
+                ranges.append({"partition": int(p), "events": int(hi) - lo + 1,
+                               "min_offset": lo, "max_offset": int(hi)})
+        events_applied = sum(r["events"] for r in ranges)
+        if events_applied == 0:
+            return _skipped_stats()  # no scan, no job — resume is metadata-only
+        new_applied = {str(p): o for p, o in applied.items()}
+        for r in ranges:
+            p = str(r["partition"])
+            new_applied[p] = max(int(new_applied.get(p, -1)), int(r["max_offset"]))
+
+    # -- exactly-once: keep only offsets beyond the committed high-water mark --
+    fresh = _hwm_filter(batch_df, applied)
+
+    # Optional: cache the filtered batch so the range aggregate and the
+    # dedup+write job share one source scan. Usually unnecessary — the ranges
+    # job reads only (offset, partition) after column pruning, so the second
+    # scan is cheap — and at high core counts cache materialization costs
+    # more than it saves (measured). MEMORY_AND_DISK so oversized batches
+    # spill instead of OOMing.
+    cached = None
+    if cache_batch:
+        from pyspark import StorageLevel
+
+        fresh = cached = fresh.persist(StorageLevel.MEMORY_AND_DISK)
+
+    from mimic_iv_etl_spark.session import observation_scrub_available
+
+    if (manifest_ranges is None and source_partitions is not None
+            and observation_scrub_available()):
         # per-partition ranges observed during the write job — no extra action
         import uuid
 
         from pyspark.sql import Observation
 
         obs = Observation(f"apply_ranges_{uuid.uuid4().hex[:8]}")
+        # NULL partitions must count as unknown too: `~isin` alone evaluates
+        # to NULL for them, silently exempting such rows from the guard
         aggs = [F.count(F.when(
-            ~F.col("partition").isin([int(p) for p in source_partitions]), True
+            F.col("partition").isNull()
+            | ~F.col("partition").isin([int(p) for p in source_partitions]), True
         )).alias("n_unknown")]
         for p in source_partitions:
             cond = F.col("partition") == int(p)
@@ -159,13 +224,10 @@ def apply_batch(
                 F.max(F.when(cond, F.col("offset"))).alias(f"hi_{p}"),
             ]
         fresh = fresh.observe(obs, *aggs)
-        ranges = None
-        events_applied = None
-        new_applied = None
-    else:
+    elif manifest_ranges is None:
         # the single driver-side aggregate: per-source-partition ranges (≤P rows)
         with phase("ranges_aggregate"):
-            ranges = (
+            collected = (
                 fresh.groupBy("partition")
                 .agg(
                     F.count("*").alias("events"),
@@ -174,8 +236,13 @@ def apply_batch(
                 )
                 .collect()
             )
+        ranges = [{"partition": int(r["partition"]), "events": int(r["events"]),
+                   "min_offset": int(r["min_offset"]),
+                   "max_offset": int(r["max_offset"])} for r in collected]
         events_applied = sum(r["events"] for r in ranges)
         if events_applied == 0:
+            if cached is not None:
+                cached.unpersist()
             return _skipped_stats()
         new_applied = {str(p): o for p, o in applied.items()}
         for r in ranges:
@@ -201,7 +268,17 @@ def apply_batch(
         F.col("partition").cast("int").alias("_lww_partition"),
     )
 
-    winners = lww_reduce(candidates, table.key_cols, mode=dedup_mode)
+    pre_partitioned = dedup_mode == "bucket"
+    if pre_partitioned:
+        # bucket computed BEFORE the (single) shuffle so the LWW agg and the
+        # partitioned write share one exchange
+        candidates = candidates.withColumn(BUCKET_COL, table.bucket_expr())
+        winners = lww_bucket_fused(
+            candidates, table.key_cols, bucket_col=BUCKET_COL,
+            num_buckets=table.n_buckets, salt=write_salt,
+        )
+    else:
+        winners = lww_reduce(candidates, table.key_cols, mode=dedup_mode)
     if late_decode:
         from mimic_iv_etl_spark.functions.textfns import decode_payload_json
 
@@ -216,7 +293,8 @@ def apply_batch(
         from mimic_iv_etl_spark.functions.textfns import normalize_text
 
         winners = winners.withColumn("text", normalize_text(F.col("text")))
-    winners = winners.withColumn(BUCKET_COL, table.bucket_expr())
+    if not pre_partitioned:
+        winners = winners.withColumn(BUCKET_COL, table.bucket_expr())
 
     if obs is not None:
         # finally-scrub: Observation use leaves the session unable to run any
@@ -229,7 +307,7 @@ def apply_batch(
             with phase("append_delta"):
                 entries, schema_id, schemas = table.stage_delta(
                     winners, new_schema=merged if evolved else None,
-                    write_salt=write_salt)
+                    write_salt=write_salt, pre_partitioned=pre_partitioned)
                 m = obs.get  # blocks on the write job just run
                 if m["n_unknown"]:
                     table.discard_staged(entries)
@@ -245,6 +323,8 @@ def apply_batch(
                 events_applied = sum(r["events"] for r in ranges)
                 if events_applied == 0:
                     table.discard_staged(entries)
+                    if cached is not None:
+                        cached.unpersist()
                     return _skipped_stats()
                 new_applied = {str(p): o for p, o in applied.items()}
                 for r in ranges:
@@ -263,9 +343,10 @@ def apply_batch(
                 new_schema=merged if evolved else None,
                 summary={"applied_offsets": new_applied, "batch_id": batch_id},
                 write_salt=write_salt,
+                pre_partitioned=pre_partitioned,
             )
-    if cache_batch:
-        fresh.unpersist()
+    if cached is not None:
+        cached.unpersist()
 
     new_files = table.last_new_entries
     n_winners = sum(e.get("rows", 0) for e in new_files)

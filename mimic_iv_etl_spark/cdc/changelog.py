@@ -185,9 +185,78 @@ def generate_change_log(out_dir: str, spec: ChangeLogSpec | None = None) -> dict
             # file caps Spark's scan parallelism at nfiles regardless of cores
             pq.write_table(chunk, path, row_group_size=65536)
             files.append(path)
+        # offset bounds + source-partition universe recorded at write time:
+        # the replay driver reads them from this manifest instead of sweeping
+        # every parquet footer per run — at 10^10 events the footer sweep is
+        # O(files) serial driver time before the first batch (VERDICT r02 #4).
+        # partition_offsets are DENSE per-partition ranges (offsets are a
+        # gapless per-partition sequence by construction — the WAL contract),
+        # which lets the apply path do its exactly-once offset bookkeeping by
+        # pure window arithmetic instead of any per-row runtime aggregation.
+        t_off = offset[sl]
+        t_part = partition[sl]
+        t_parts = sorted(int(p) for p in np.unique(t_part))
+        part_offsets = {
+            str(p): [int(t_off[t_part == p].min()), int(t_off[t_part == p].max())]
+            for p in t_parts
+        }
         manifest["tranches"].append(
-            {"id": t_id, "evolved": evolved, "rows": tbl.num_rows, "files": files}
+            {
+                "id": t_id,
+                "evolved": evolved,
+                "rows": tbl.num_rows,
+                "files": files,
+                "offset_lo": int(t_off.min()) if len(t_off) else 0,
+                "offset_hi": int(t_off.max()) if len(t_off) else -1,
+                "partitions": t_parts,
+                "partition_offsets": part_offsets,
+                "dense_offsets": True,
+            }
         )
     with open(os.path.join(out_dir, "manifest.json"), "w") as f:
         json.dump(manifest, f, indent=1)
+    return manifest
+
+
+def upgrade_manifest(log_dir: str) -> dict:
+    """Backfill offset-bounds / partition-universe fields on a manifest written
+    by an older generator version, by scanning only the (offset, partition)
+    columns of each tranche. Density (``count == hi - lo + 1`` per partition)
+    is VERIFIED from the data, not assumed — ``dense_offsets`` is only stamped
+    when it actually holds, so the arithmetic exactly-once bookkeeping path
+    can never be enabled on a gappy log by accident. Idempotent."""
+    import glob as _glob
+
+    import pyarrow.dataset as ds
+
+    with open(os.path.join(log_dir, "manifest.json")) as f:
+        manifest = json.load(f)
+    changed = False
+    for t in manifest.get("tranches", []):
+        if "partition_offsets" in t:
+            continue
+        t_dir = os.path.join(log_dir, f"tranche-{t['id']}")
+        files = sorted(_glob.glob(os.path.join(t_dir, "*.parquet")))
+        tbl = ds.dataset(files).to_table(columns=["offset", "partition"])
+        off = tbl["offset"].to_numpy()
+        part = tbl["partition"].to_numpy()
+        parts = sorted(int(p) for p in np.unique(part))
+        part_offsets: dict[str, list[int]] = {}
+        dense = True
+        for p in parts:
+            m = part == p
+            lo, hi, n = int(off[m].min()), int(off[m].max()), int(m.sum())
+            dense = dense and (hi - lo + 1 == n)
+            part_offsets[str(p)] = [lo, hi]
+        t["offset_lo"] = int(off.min()) if len(off) else 0
+        t["offset_hi"] = int(off.max()) if len(off) else -1
+        t["partitions"] = parts
+        t["partition_offsets"] = part_offsets
+        t["dense_offsets"] = dense
+        changed = True
+    if changed:
+        tmp = os.path.join(log_dir, ".manifest.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=1)
+        os.replace(tmp, os.path.join(log_dir, "manifest.json"))
     return manifest

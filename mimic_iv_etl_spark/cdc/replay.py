@@ -4,6 +4,13 @@ Replays a change log (directory of ``tranche-*/part-*.parquet``, see
 ``changelog.py``) through :func:`apply_batch` in per-source-partition offset
 order — the engine-side equivalent of tailing a binlog/WAL.
 
+Replay metadata (offset bounds, source-partition universe, dense
+per-partition ranges, tranche schema) comes from the log's ``manifest.json``
+plus ONE pyarrow footer read per tranche; the O(files) parquet-footer sweep
+and Spark's schema-inference job are fallbacks for manifests written by
+older generators (``upgrade_manifest`` backfills those in place). At
+10^10-event scale this keeps the fixed pre-batch driver time O(tranches).
+
 Delivery contract (the binlog/Kafka contract): events of one source
 partition arrive in non-decreasing offset order across batches. Under that
 contract the table's committed ``applied_offsets`` high-water marks are a
@@ -19,6 +26,7 @@ evolved batch does, not retroactively.
 from __future__ import annotations
 
 import glob
+import json
 import os
 import time
 
@@ -27,6 +35,8 @@ from pyspark.sql import SparkSession
 from pyspark.sql import functions as F
 
 from mimic_iv_etl_spark.cdc.apply import apply_batch
+from mimic_iv_etl_spark.cdc.metrics import flush_sidecars
+from mimic_iv_etl_spark.cdc.profiling import phase
 from mimic_iv_etl_spark.lake.table import LakeTable
 
 
@@ -35,6 +45,39 @@ def _tranche_dirs(log_dir: str) -> list[str]:
     if not out:
         raise FileNotFoundError(f"no tranches under {log_dir}")
     return out
+
+
+def _manifest_tranches(log_dir: str) -> dict[str, dict] | None:
+    """Per-tranche metadata (offset bounds, source-partition universe) from the
+    log's ``manifest.json``, keyed by tranche dir path. The manifest is written
+    once at log-write time (``changelog.py``), so replay startup is O(tranches)
+    driver time instead of an O(files) parquet-footer sweep per run — at
+    10^10-event scale the footer sweep is the fixed pre-batch overhead that
+    Amdahl-caps scaling (VERDICT r02 item 4). Returns None (footer fallback)
+    when the manifest is absent or predates the offset-bounds fields."""
+    path = os.path.join(log_dir, "manifest.json")
+    if not os.path.exists(path):
+        return None
+    with open(path) as f:
+        manifest = json.load(f)
+    out: dict[str, dict] = {}
+    for t in manifest.get("tranches", []):
+        if "offset_lo" not in t or "partitions" not in t:
+            return None
+        out[os.path.join(log_dir, f"tranche-{t['id']}")] = t
+    return out or None
+
+
+def _tranche_schema(tranche_dir: str):
+    """Spark schema of a tranche from ONE parquet footer read driver-side with
+    pyarrow — replaces Spark's schema-inference job (a full JVM job scheduling
+    round-trip per tranche per run; pure fixed overhead in the replay loop).
+    Tranche files share one schema by construction (``changelog.py`` writes
+    each tranche from a single arrow table)."""
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    first = sorted(glob.glob(os.path.join(tranche_dir, "*.parquet")))[0]
+    return from_arrow_schema(pq.read_schema(first), prefer_timestamp_ntz=True)
 
 
 def _offset_bounds(tranche_dir: str) -> tuple[int, int]:
@@ -92,11 +135,17 @@ def replay_log(
     auto_compact_deltas: int | None = None,
     decode_payload: bool = False,
     normalize: bool = False,
+    flush_sidecars_every: int | None = 256,
 ) -> dict:
     """Replay the whole log into the table at ``table_path`` (created with
     ``schema`` if absent). ``batch_offsets`` sets the per-partition offset
     width of each micro-batch. Returns aggregate throughput stats
     (apply-loop wall time only, fixture IO excluded — BASELINE.md protocol).
+
+    ``flush_sidecars_every`` folds the driver-local lineage/metrics JSONL
+    tails into cluster-durable parquet segments every K applied batches and
+    once at the end of the replay (one tiny Spark job per flush, amortized
+    off the apply hot path); ``None`` disables.
     """
     if LakeTable.exists(table_path):
         table = LakeTable(spark, table_path)
@@ -111,10 +160,28 @@ def replay_log(
     batch_seq = 0
     t0 = time.monotonic()
 
+    meta = _manifest_tranches(log_dir)
     for tranche in _tranche_dirs(log_dir):
-        lo, hi = _offset_bounds(tranche)
-        pids = _partition_ids(tranche)
-        df = spark.read.parquet(tranche)
+        with phase("tranche_metadata"):
+            t_meta = meta.get(tranche) if meta is not None else None
+            part_offsets = None
+            if t_meta is not None:
+                lo, hi = int(t_meta["offset_lo"]), int(t_meta["offset_hi"])
+                pids = [int(p) for p in t_meta["partitions"]]
+                if t_meta.get("dense_offsets") and "partition_offsets" in t_meta:
+                    # dense per-partition ranges → apply_batch does offset
+                    # bookkeeping as pure window arithmetic (no Observation,
+                    # no aggregate, no per-row conditional counters)
+                    part_offsets = {
+                        int(p): (int(r[0]), int(r[1]))
+                        for p, r in t_meta["partition_offsets"].items()
+                    }
+                if len(pids) > 64:  # conditional-agg fan-out cap, as below
+                    pids = None
+            else:
+                lo, hi = _offset_bounds(tranche)
+                pids = _partition_ids(tranche)
+            df = spark.read.schema(_tranche_schema(tranche)).parquet(tranche)
         late_decode = decode_payload and "payload" in df.columns
         if late_decode:
             # the mandated ingest shape (input_hint): events arrive encoded.
@@ -140,11 +207,20 @@ def replay_log(
                 start = end
                 continue
             batch = df.filter((F.col("offset") >= start) & (F.col("offset") < end))
+            window_ranges = None
+            if part_offsets is not None:
+                # dense ranges ∩ this offset window, per source partition
+                window_ranges = {}
+                for p, (p_lo, p_hi) in part_offsets.items():
+                    w_lo, w_hi = max(p_lo, start), min(p_hi, end - 1)
+                    if w_lo <= w_hi:
+                        window_ranges[p] = (w_lo, w_hi)
             stats = apply_batch(table, batch, batch_id=batch_seq,
                                 dedup_mode=dedup_mode, write_salt=write_salt,
                                 decode_payload=late_decode,
                                 normalize=normalize and late_decode,
-                                source_partitions=pids)
+                                source_partitions=pids,
+                                manifest_ranges=window_ranges)
             batch_seq += 1
             total_applied += stats["events_applied"]
             if stats["skipped"]:
@@ -155,9 +231,16 @@ def replay_log(
                 table.compact()
             elif auto_compact_deltas:
                 table.maybe_compact(auto_compact_deltas)
+            if (flush_sidecars_every and n_batches
+                    and n_batches % flush_sidecars_every == 0):
+                flush_sidecars(spark, table.path)
             start = end
 
     secs = time.monotonic() - t0
+    # final durability flush AFTER the throughput clock stops: sidecars are
+    # best-effort observability (metrics.py), not part of the apply loop
+    if flush_sidecars_every:
+        flush_sidecars(spark, table.path)
     return {
         "events_applied": total_applied,
         "batches": n_batches,

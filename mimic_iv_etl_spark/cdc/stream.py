@@ -119,4 +119,10 @@ def stream_log(
             decode_payload=decode_payload,
             normalize=normalize,
         )
+        # per-tranche durability point: fold the driver-local lineage/metrics
+        # JSONL tails into cluster-durable parquet (one tiny job, off the
+        # per-batch hot path)
+        from mimic_iv_etl_spark.cdc.metrics import flush_sidecars
+
+        flush_sidecars(spark, table.path)
     return table

@@ -43,11 +43,18 @@ def lww_reduce(
     cols = df.columns
 
     if mode == "agg":
-        payload = F.struct(*[F.col(c) for c in cols])
+        # key columns ride as the grouping key; duplicating them inside the
+        # max_by payload struct would re-shuffle the same bytes (~10% of the
+        # wide-row width for the transcript key) for nothing
+        nonkey = [c for c in cols if c not in keys]
+        payload = F.struct(*[F.col(c) for c in nonkey])
         return (
             df.groupBy(*keys)
             .agg(F.max_by(payload, stamp).alias("_w"))
-            .select(*[F.col(f"_w.{c}").alias(c) for c in cols])
+            .select(*[
+                F.col(c) if c in keys else F.col(f"_w.{c}").alias(c)
+                for c in cols
+            ])
         )
 
     if mode == "window":
@@ -79,3 +86,51 @@ def lww_reduce(
         )
 
     raise ValueError(f"unknown lww mode: {mode}")
+
+
+def lww_bucket_fused(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    bucket_col: str,
+    num_buckets: int,
+    salt: int = 1,
+    stamp_cols: Sequence[str] = DEFAULT_STAMP,
+) -> DataFrame:
+    """LWW reduce fused onto a bucket-aligned shuffle — ONE wide exchange.
+
+    ``df`` must already carry ``bucket_col`` (a pure function of the first key
+    column). Rows are hash-partitioned by ``(bucket[, key-salt])``; because the
+    partitioning expressions are a subset of the grouping keys
+    ``(bucket[, salt], *keys)``, Catalyst inserts NO further exchange for the
+    aggregation, and the winners leave this function still partitioned by
+    bucket — a downstream bucket-partitioned writer needs no repartition
+    either. Net: the classic plan's two wide shuffles (hash-by-key aggregate
+    exchange + bucket write exchange) collapse into one.
+
+    ``salt > 1`` splits hot buckets: the salt is a deterministic function of
+    the FULL key, so every row of one key stays in one partition (LWW remains
+    exact) while a hot conversation's many turns spread over ``salt``
+    partitions — the north rule's salted-key splitting.
+    """
+    keys = list(key_cols)
+    stamp = F.struct(*[F.col(c) for c in stamp_cols])
+    cols = [c for c in df.columns if c != bucket_col]
+    nonkey = [c for c in cols if c not in keys]
+    payload = F.struct(*[F.col(c) for c in nonkey])
+
+    group = [bucket_col, *keys]
+    if salt > 1:
+        df = df.withColumn(
+            "_wsalt",
+            F.pmod(F.xxhash64(*[F.col(c) for c in keys]), F.lit(salt)).cast("int"),
+        )
+        parts = df.repartition(num_buckets * salt, F.col(bucket_col), F.col("_wsalt"))
+        group = [bucket_col, "_wsalt", *keys]
+    else:
+        parts = df.repartition(num_buckets, F.col(bucket_col))
+
+    out = parts.groupBy(*group).agg(F.max_by(payload, stamp).alias("_w"))
+    return out.select(
+        F.col(bucket_col),
+        *[F.col(c) if c in keys else F.col(f"_w.{c}").alias(c) for c in cols],
+    )

@@ -311,6 +311,7 @@ class LakeTable:
     def _stage_write(
         self, state_df: DataFrame, public: T.StructType, schema_id: int, kind: str,
         write_salt: int = 1, n_buckets: int | None = None,
+        pre_partitioned: bool = False,
     ) -> list[dict]:
         """Write ``state_df`` (internal schema + ``_bucket`` routing column) as
         bucket-partitioned parquet under a staging dir, then move the files
@@ -332,7 +333,12 @@ class LakeTable:
         # buckets (salt derives from the second key column, so rows of one
         # conversation still land in one bucket dir, just in ≤salt files).
         n_buckets = self.n_buckets if n_buckets is None else n_buckets
-        if write_salt > 1:
+        if pre_partitioned:
+            # caller guarantees the rows are already hash-partitioned by
+            # BUCKET_COL (e.g. the fused LWW plan) — repartitioning again
+            # would re-shuffle every winner byte for an identical layout
+            pass
+        elif write_salt > 1:
             salt_col = F.pmod(
                 F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(write_salt)
             )
@@ -344,36 +350,32 @@ class LakeTable:
         with phase("stage_spark_write"):
             aligned.write.mode("overwrite").partitionBy(BUCKET_COL).parquet(stage)
         new_entries: list[dict] = []
-        _t_move = time.monotonic()
-        for d in sorted(os.listdir(stage)):
-            if not d.startswith(f"{BUCKET_COL}="):
-                continue
-            b = int(d.split("=", 1)[1])
-            dest = os.path.join(self._data_dir, f"bucket={b}")
-            os.makedirs(dest, exist_ok=True)
-            for fn in sorted(os.listdir(os.path.join(stage, d))):
-                if not fn.endswith(".parquet"):
+        with phase("stage_move_footers"):
+            for d in sorted(os.listdir(stage)):
+                if not d.startswith(f"{BUCKET_COL}="):
                     continue
-                new_name = f"part-{uuid.uuid4().hex}.parquet"
-                abs_path = os.path.join(dest, new_name)
-                os.replace(os.path.join(stage, d, fn), abs_path)
-                rel = os.path.relpath(abs_path, self.path)
-                md = pq.read_metadata(abs_path)
-                new_entries.append(
-                    {
-                        "path": rel,
-                        "bucket": b,
-                        "schema_id": schema_id,
-                        "kind": kind,
-                        "rows": md.num_rows,
-                        "has_tombstones": _has_tombstones(md),
-                    }
-                )
-        shutil.rmtree(stage, ignore_errors=True)
-        from mimic_iv_etl_spark.cdc import profiling
-        if profiling._ENABLED:
-            profiling.PHASES["stage_move_footers"] = profiling.PHASES.get(
-                "stage_move_footers", 0.0) + (time.monotonic() - _t_move)
+                b = int(d.split("=", 1)[1])
+                dest = os.path.join(self._data_dir, f"bucket={b}")
+                os.makedirs(dest, exist_ok=True)
+                for fn in sorted(os.listdir(os.path.join(stage, d))):
+                    if not fn.endswith(".parquet"):
+                        continue
+                    new_name = f"part-{uuid.uuid4().hex}.parquet"
+                    abs_path = os.path.join(dest, new_name)
+                    os.replace(os.path.join(stage, d, fn), abs_path)
+                    rel = os.path.relpath(abs_path, self.path)
+                    md = pq.read_metadata(abs_path)
+                    new_entries.append(
+                        {
+                            "path": rel,
+                            "bucket": b,
+                            "schema_id": schema_id,
+                            "kind": kind,
+                            "rows": md.num_rows,
+                            "has_tombstones": _has_tombstones(md),
+                        }
+                    )
+            shutil.rmtree(stage, ignore_errors=True)
         return new_entries
 
     def _next_schema(
@@ -420,6 +422,7 @@ class LakeTable:
         winners_df: DataFrame,
         new_schema: T.StructType | None = None,
         write_salt: int = 1,
+        pre_partitioned: bool = False,
     ) -> tuple[list[dict], int, dict]:
         """First half of :meth:`append_delta`: run the write job and land the
         delta files in ``data/`` WITHOUT committing a snapshot. Returns
@@ -430,7 +433,8 @@ class LakeTable:
         and may abandon a zero-row stage at no cost."""
         public, schema_id, schemas = self._next_schema(new_schema)
         entries = self._stage_write(winners_df, public, schema_id, "delta",
-                                    write_salt=write_salt)
+                                    write_salt=write_salt,
+                                    pre_partitioned=pre_partitioned)
         return entries, schema_id, schemas
 
     def commit_delta(
@@ -463,13 +467,15 @@ class LakeTable:
         new_schema: T.StructType | None = None,
         summary: dict | None = None,
         write_salt: int = 1,
+        pre_partitioned: bool = False,
     ) -> "LakeTable":
         """Merge-on-read upsert commit: append per-batch LWW winners (internal
         schema + ``_bucket``) as delta files. Never reads existing data —
         ingest cost is O(batch). ``summary['applied_offsets']`` must be the
         full updated map (the exactly-once source of truth)."""
         entries, schema_id, schemas = self.stage_delta(
-            winners_df, new_schema=new_schema, write_salt=write_salt)
+            winners_df, new_schema=new_schema, write_salt=write_salt,
+            pre_partitioned=pre_partitioned)
         return self.commit_delta(entries, schema_id, schemas, summary)
 
     def overwrite_buckets(

@@ -78,8 +78,12 @@ def measure(cpus: int) -> dict:
     from mimic_iv_etl_spark.session import get_spark_session
     from pyspark.sql import types as T
 
+    # 2× cores: reduce-stage task skew (hash variance over few fat tasks)
+    # costs a built-in straggler tax when partitions == cores; two waves of
+    # half-size tasks amortize it at both levels
     spark = get_spark_session(
-        app_name=f"scaling-{cpus}", master=f"local[{cpus}]", shuffle_partitions=cpus
+        app_name=f"scaling-{cpus}", master=f"local[{cpus}]",
+        shuffle_partitions=2 * cpus,
     )
     schema = T.StructType(
         [
@@ -260,6 +264,7 @@ def orchestrate() -> None:
         calib.append(round(pre / 1e6, 1))
     results = {}
     degraded = []
+    stats = {}
     for c in LEVELS:
         # best over ALL attempts: external contention is strictly one-sided
         # (it only ever slows a run), so every measurement is an upper bound
@@ -271,9 +276,25 @@ def orchestrate() -> None:
         if not accepted[c]:
             degraded.append(c)
         results[c] = max(pool, key=lambda r: r["events_per_sec"])
+        # auditability (VERDICT r02): medians + rep counts published next to
+        # the best-of headline, and it is called out explicitly whenever a
+        # leg's winner came from a calibration-REJECTED rep — the criterion
+        # number must never silently rest on gate-failing runs.
+        eps_all = sorted(r["events_per_sec"] for r in pool)
+        eps_acc = sorted(r["events_per_sec"] for r in accepted[c])
+        stats[c] = {
+            "n_accepted": len(accepted[c]),
+            "n_rejected": len(rejected[c]),
+            "median_accepted": eps_acc[len(eps_acc) // 2] if eps_acc else None,
+            "median_all": eps_all[len(eps_all) // 2] if eps_all else None,
+            "winner_was_rejected": results[c] not in accepted[c],
+        }
 
     lo, hi = LEVELS
     eff = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / (hi / lo)
+    med_lo = stats[lo]["median_accepted"] or stats[lo]["median_all"]
+    med_hi = stats[hi]["median_accepted"] or stats[hi]["median_all"]
+    eff_median = (med_hi / med_lo) / (hi / lo) if med_lo and med_hi else None
     cpu_ratio = pinned_cpu_ratio(lo, hi)
     bw_ratio = pinned_mem_bw_ratio(lo, hi)
     eff_norm = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / cpu_ratio
@@ -305,14 +326,24 @@ def orchestrate() -> None:
             f"Accepted reps per level: { {c: len(accepted[c]) for c in LEVELS} };\n"
             f"degraded (no accepted rep, best attempt shown): {degraded or 'none'};\n"
             f"pre-rep calibrations seen (Miter/s): {calib}.\n\n"
-            "| config | events | seconds | events/sec |\n|---|---|---|---|\n"
+            "| config | events | seconds | events/sec (best) | median ev/s "
+            "(accepted) | reps acc/rej | winner from rejected rep? |\n"
+            "|---|---|---|---|---|---|\n"
             + "".join(
                 f"| local[{c}] | {r['events_applied']:,} | {r['seconds']:.2f} | "
-                f"{r['events_per_sec']:,.0f} |\n"
+                f"{r['events_per_sec']:,.0f} | "
+                + (f"{stats[c]['median_accepted']:,.0f}"
+                   if stats[c]["median_accepted"] else "—")
+                + f" | {stats[c]['n_accepted']}/{stats[c]['n_rejected']} | "
+                + ("**yes**" if stats[c]["winner_was_rejected"] else "no")
+                + " |\n"
                 for c, r in results.items()
             )
             + f"\nScaling efficiency (N→4N) = (tput_{hi} / tput_{lo}) / {hi // lo} = "
-            f"**{eff:.3f}** (criterion ≥ 0.8)\n\n"
+            f"**{eff:.3f}** (criterion ≥ 0.8)"
+            + (f"; on medians of accepted reps: **{eff_median:.3f}**"
+               if eff_median else "")
+            + "\n\n"
             f"Hardware ceilings of this shared-host, single-socket sandbox,\n"
             f"measured with probes taskset-pinned exactly like the legs\n"
             f"(ideal would be {hi // lo}× for both):\n\n"
@@ -334,6 +365,8 @@ def orchestrate() -> None:
             f"shortfall is the engine's.\n"
         )
     print(json.dumps({"results": results, "efficiency": round(eff, 4),
+                      "efficiency_median": round(eff_median, 4) if eff_median else None,
+                      "level_stats": stats,
                       "cpu_delivery_ratio": round(cpu_ratio, 3),
                       "mem_bw_delivery_ratio": round(bw_ratio, 3),
                       "efficiency_cpu_normalized": round(eff_norm, 4),

@@ -1,0 +1,218 @@
+"""Round-3 apply-path mechanics: manifest-driven arithmetic offset
+bookkeeping, the bucket-fused single-shuffle LWW plan, the literal-predicate
+exactly-once filter, manifest backfill, and sidecar auto-flush.
+
+All end-state assertions go through the independent DuckDB oracle
+(``cdc/oracle.py``) — the same per-turn text-equality gate as the rest of the
+apply E2E suite.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import functions as F
+
+from mimic_iv_etl_spark.cdc import apply as apply_mod
+from mimic_iv_etl_spark.cdc.apply import apply_batch
+from mimic_iv_etl_spark.cdc.changelog import (ChangeLogSpec,
+                                              generate_change_log,
+                                              upgrade_manifest)
+from mimic_iv_etl_spark.cdc.metrics import read_lineage, read_metrics
+from mimic_iv_etl_spark.cdc.oracle import duckdb_final_state
+from mimic_iv_etl_spark.cdc.replay import replay_log
+from mimic_iv_etl_spark.lake.merge import lww_bucket_fused, lww_reduce
+from mimic_iv_etl_spark.lake.table import BUCKET_COL, LakeTable
+from tests.util import TRANSCRIPT_SCHEMA, assert_final_state_equal
+
+
+def test_replay_uses_manifest_arithmetic_and_matches_oracle(
+        spark, small_log, tmp_path):
+    """The generator's manifest carries dense per-partition offset ranges, so
+    the whole replay does its exactly-once bookkeeping with no Observation
+    and no ranges aggregate — and still lands oracle-equal state with exact
+    per-partition lineage."""
+    d, spec, manifest = small_log
+    assert all(t["dense_offsets"] for t in manifest["tranches"])
+    tp = str(tmp_path / "t_manifest")
+    out = replay_log(spark, d, tp, schema=TRANSCRIPT_SCHEMA,
+                     batch_offsets=700, n_buckets=8)
+    assert out["events_applied"] == spec.n_events
+    tbl = LakeTable(spark, tp)
+    assert_final_state_equal(tbl.read(), duckdb_final_state(d))
+
+    # lineage: arithmetic ranges must equal the data's actual ranges
+    lin = read_lineage(spark, tbl.path).toPandas()
+    assert int(lin["events"].sum()) == spec.n_events
+    data = spark.read.parquet(*sorted(glob.glob(f"{d}/tranche-*")))
+    actual = {int(r["partition"]): int(r["hi"]) for r in
+              data.groupBy("partition").agg(F.max("offset").alias("hi")).collect()}
+    assert tbl.applied_offsets == actual
+
+    # resume: a second replay is pure metadata — no new snapshot, no scan jobs
+    v = tbl.version
+    out2 = replay_log(spark, d, tp, batch_offsets=700)
+    assert out2["events_applied"] == 0
+    assert out2["batches"] == 0
+    assert LakeTable(spark, tp).version == v
+
+
+@pytest.mark.parametrize("salt", [1, 4])
+def test_bucket_fused_dedup_matches_oracle(spark, small_log, tmp_path, salt):
+    """dedup_mode='bucket': one wide shuffle, winners land pre-partitioned;
+    final state identical to the classic agg plan and the oracle; file count
+    stays bounded by the partition layout."""
+    d, spec, _ = small_log
+    tp = str(tmp_path / f"t_fused_{salt}")
+    out = replay_log(spark, d, tp, schema=TRANSCRIPT_SCHEMA,
+                     batch_offsets=1_000, n_buckets=8,
+                     dedup_mode="bucket", write_salt=salt)
+    assert out["events_applied"] == spec.n_events
+    tbl = LakeTable(spark, tp)
+    assert_final_state_equal(tbl.read(), duckdb_final_state(d))
+    # every commit stages at most n_buckets × salt files (the pre-partitioned
+    # write must not explode into tasks × buckets tiny files)
+    history = sorted(tbl.history(), key=lambda s: s["version"])
+    for prev, cur in zip(history, history[1:]):
+        prev_paths = {e["path"] for e in prev["files"]}
+        added = [e for e in cur["files"] if e["path"] not in prev_paths]
+        assert len(added) <= 8 * salt
+
+
+def test_bucket_fused_is_single_exchange(spark):
+    """The fused plan's physical signature: exactly ONE Exchange between scan
+    and winners (vs two in the classic agg + bucket-repartition chain)."""
+    df = spark.range(1000).select(
+        F.concat(F.lit("c"), (F.col("id") % 37).cast("string")).alias("conv_id"),
+        (F.col("id") % 5).cast("int").alias("turn_idx"),
+        F.col("id").cast("timestamp").alias("ts"),
+        F.lit(False).alias("_deleted"),
+        F.col("id").alias("_lww_offset"),
+        F.lit(0).cast("int").alias("_lww_partition"),
+    ).withColumn(BUCKET_COL,
+                 F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int"))
+    fused = lww_bucket_fused(df, ["conv_id", "turn_idx"], BUCKET_COL, 8)
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+
+    classic = lww_reduce(df.drop(BUCKET_COL), ["conv_id", "turn_idx"]) \
+        .withColumn(BUCKET_COL, F.pmod(F.xxhash64("conv_id"), F.lit(8)).cast("int")) \
+        .repartition(8, F.col(BUCKET_COL))
+    classic_plan = classic._jdf.queryExecution().executedPlan().toString()
+    assert classic_plan.count("Exchange") == 2, classic_plan
+
+    # and the two plans agree row-for-row
+    a = {tuple(r) for r in fused.drop(BUCKET_COL).collect()}
+    b = {tuple(r) for r in classic.drop(BUCKET_COL).collect()}
+    assert a == b
+
+
+def test_hwm_literal_predicate_equals_join_path(spark, small_log, tmp_path,
+                                                monkeypatch):
+    """Exactly-once row filtering must behave identically through the literal
+    codegen predicate (≤cap partitions) and the broadcast-join fallback."""
+    d, spec, _ = small_log
+    log = spark.read.parquet(*sorted(glob.glob(f"{d}/tranche-*"))).drop("payload")
+
+    results = []
+    for cap in (64, 0):  # 0 forces the join path
+        monkeypatch.setattr(apply_mod, "_HWM_PREDICATE_CAP", cap)
+        tp = str(tmp_path / f"t_hwm_{cap}")
+        tbl = LakeTable.create(spark, tp, TRANSCRIPT_SCHEMA, n_buckets=4)
+        apply_batch(tbl, log.filter(F.col("offset") < 900), batch_id=0)
+        stats = apply_batch(tbl, log.filter(F.col("offset") < 1400), batch_id=1)
+        results.append(stats["events_applied"])
+        apply_batch(tbl, log, batch_id=2)
+        assert_final_state_equal(tbl.read(), duckdb_final_state(d))
+    assert results[0] == results[1] > 0
+
+
+def test_upgrade_manifest_backfills_and_verifies_density(tmp_path):
+    d = str(tmp_path / "log_up")
+    spec = ChangeLogSpec(n_events=3_000, n_convs=100, n_partitions=3, seed=5)
+    original = generate_change_log(d, spec)
+    # strip the new fields, as an older generator would have written it
+    mpath = os.path.join(d, "manifest.json")
+    with open(mpath) as f:
+        m = json.load(f)
+    for t in m["tranches"]:
+        for k in ("offset_lo", "offset_hi", "partitions", "partition_offsets",
+                  "dense_offsets"):
+            t.pop(k)
+    with open(mpath, "w") as f:
+        json.dump(m, f)
+
+    upgraded = upgrade_manifest(d)
+    for t_new, t_orig in zip(upgraded["tranches"], original["tranches"]):
+        for k in ("offset_lo", "offset_hi", "partitions", "partition_offsets",
+                  "dense_offsets"):
+            assert t_new[k] == t_orig[k]
+    assert all(t["dense_offsets"] for t in upgraded["tranches"])
+
+
+def test_upgrade_manifest_detects_gappy_offsets(tmp_path):
+    """A log whose offsets have gaps must NOT be stamped dense — the
+    arithmetic bookkeeping path would otherwise record never-delivered
+    offsets as applied."""
+    d = str(tmp_path / "log_gap")
+    t_dir = os.path.join(d, "tranche-0")
+    os.makedirs(t_dir)
+    tbl = pa.table({
+        "op": ["I", "I", "I"],
+        "conv_id": ["c1", "c2", "c3"],
+        "turn_idx": pa.array([0, 1, 2], pa.int32()),
+        "text": ["a", "b", "c"],
+        "ts": pa.array([1, 2, 3], pa.timestamp("us")),
+        "offset": pa.array([0, 1, 5], pa.int64()),  # gap: 2..4 missing
+        "partition": pa.array([0, 0, 0], pa.int32()),
+    })
+    pq.write_table(tbl, os.path.join(t_dir, "part-00000.parquet"))
+    with open(os.path.join(d, "manifest.json"), "w") as f:
+        json.dump({"tranches": [{"id": 0, "evolved": False, "rows": 3,
+                                 "files": []}], "n_events": 3,
+                   "n_partitions": 1}, f)
+    up = upgrade_manifest(d)
+    assert up["tranches"][0]["dense_offsets"] is False
+    assert up["tranches"][0]["partition_offsets"]["0"] == [0, 5]
+
+
+def test_replay_autoflushes_sidecars(spark, small_log, tmp_path):
+    d, spec, _ = small_log
+    tp = str(tmp_path / "t_flush")
+    replay_log(spark, d, tp, schema=TRANSCRIPT_SCHEMA, batch_offsets=1_000,
+               n_buckets=4)
+    flushed = glob.glob(os.path.join(tp, "_metrics", "flushed", "*.parquet"))
+    assert flushed, "replay_log must leave lineage/metrics cluster-durable"
+    met = read_metrics(spark, tp).toPandas()
+    assert int(met["events_applied"].sum()) == spec.n_events
+    # and the live JSONL tail was folded in (no double counting)
+    assert not os.path.exists(os.path.join(tp, "_metrics", "metrics.jsonl"))
+
+
+def test_scrub_version_guard(spark, small_log, tmp_path, monkeypatch):
+    """On a non-pinned Spark version the reflection scrub refuses (one loud
+    warning) and apply_batch's bookkeeping degrades to the separate-aggregate
+    path instead of poisoning the session via Observation."""
+    import pyspark
+
+    from mimic_iv_etl_spark import session as session_mod
+
+    monkeypatch.setattr(pyspark, "__version__", "4.2.0")
+    monkeypatch.setattr(session_mod, "_warned_scrub_version", False)
+    assert not session_mod.observation_scrub_available()
+    with pytest.warns(RuntimeWarning, match="validated against Spark"):
+        assert session_mod.scrub_observation_manager(spark) is False
+
+    d, spec, _ = small_log
+    log = spark.read.parquet(*sorted(glob.glob(f"{d}/tranche-*"))).drop("payload")
+    tbl = LakeTable.create(spark, str(tmp_path / "t_guard"), TRANSCRIPT_SCHEMA,
+                           n_buckets=4)
+    stats = apply_batch(tbl, log, batch_id=0,
+                        source_partitions=list(range(spec.n_partitions)))
+    assert stats["events_applied"] == spec.n_events
+    assert_final_state_equal(tbl.read(), duckdb_final_state(d))
