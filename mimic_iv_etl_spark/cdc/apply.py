@@ -11,9 +11,12 @@ or Structured Streaming ``foreachBatch``). Dataflow per batch:
    (union-by-name, int→long/float→double widening) *before* apply
    (SURVEY.md §4.3 item 5).
 3. **LWW dedup** — one winner per ``(conv_id, turn_idx)`` by
-   ``(ts, offset, partition)`` via skew-proof ``max_by`` partial aggregation
-   (reference precedent: latest-record-per-key, ``feature_engineering.py:238-240``),
-   or the bucket-fused single-shuffle variant (``dedup_mode='bucket'``).
+   ``(ts, offset, partition)``. Default on dense-manifest logs: the
+   ``locator`` kernel (packed-stamp HashAggregate + exact bitmap fetch — no
+   sort, no wide shuffle; :func:`_locator_winners`). Fallbacks: skew-proof
+   ``max_by`` partial aggregation (reference precedent:
+   latest-record-per-key, ``feature_engineering.py:238-240``) and the
+   bucket-fused single-shuffle variant (``dedup_mode='bucket'``).
 4. **Commit** — winners land as merge-on-read delta files (O(batch) IO),
    snapshot tagged with the updated applied-offset map; lineage rows
    (batch × source partition × offset range) and a throughput metrics row are
@@ -37,6 +40,7 @@ SURVEY.md §2.12).
 
 from __future__ import annotations
 
+import os
 import time
 
 from pyspark.sql import DataFrame
@@ -44,7 +48,9 @@ from pyspark.sql import functions as F
 
 from mimic_iv_etl_spark.cdc.metrics import append_lineage, append_metrics
 from mimic_iv_etl_spark.cdc.profiling import phase
-from mimic_iv_etl_spark.lake.merge import lww_bucket_fused, lww_reduce
+from mimic_iv_etl_spark.lake.merge import (PACK_MAX_OFFSET, PACK_MAX_PARTITION,
+                                           lww_bucket_fused, lww_reduce,
+                                           lww_winner_locators)
 from mimic_iv_etl_spark.lake.schema import merge_schemas, schemas_equal
 from mimic_iv_etl_spark.lake.table import BUCKET_COL, LakeTable
 
@@ -53,6 +59,101 @@ META_COLS = ("op", "offset", "partition", "payload")
 # above this many committed partitions the literal hwm predicate stops being
 # a win over a broadcast-join filter (expression size, codegen limits)
 _HWM_PREDICATE_CAP = 64
+
+
+def _locator_supported(ranges: list[dict]) -> bool:
+    """Whether the packed-stamp locator kernel's bit budget covers this
+    batch's offset/partition coordinates (offset < 2^36, partition < 2^16)."""
+    return bool(ranges) and all(
+        0 <= r["partition"] < PACK_MAX_PARTITION
+        and 0 <= r["min_offset"]
+        and r["max_offset"] < PACK_MAX_OFFSET
+        for r in ranges
+    )
+
+
+def _locator_winners(candidates: DataFrame, key_cols: list[str],
+                     ranges: list[dict], table_path: str):
+    """LWW winners WITHOUT a wide aggregate or a wide shuffle — returns
+    ``(winners_df, cleanup_fn)``; call ``cleanup_fn()`` once the job that
+    consumes ``winners_df`` has run.
+
+    1. Winner locators ``(partition, offset)`` per key via the packed-stamp
+       HashAggregate (`lake/merge.py::lww_winner_locators`) — the scan is
+       column-pruned to keys+stamp, payloads never leave their scan.
+    2. The locators land driver-side as one Arrow transfer — O(winners per
+       batch), bounded by ``batch_offsets``, the same order of driver traffic
+       as any broadcast-join build (this is the one deliberate driver
+       round-trip in the apply path).
+    3. Because the WAL contract makes per-partition offsets DENSE, the
+       locator set becomes an EXACT bitmap (1 bit per in-window offset — no
+       hashing, no false positives). The bitmap ships as a 1-row
+       ``array<bigint>`` parquet under the table's ``_staging`` dir (shared
+       storage, so cluster executors can read it), broadcast onto the wide
+       scan, and probed with ``element_at`` + ``getbit`` — a PURE-JVM
+       codegen'd filter. The first cut probed via a pandas UDF instead;
+       that queued every wide row behind the Python round-trip
+       (ArrowEvalPython row queue) and stage metrics showed 58% of executor
+       time in GC — the JVM probe removes Python from the wide path
+       entirely, so only winner rows ever reach the decode/normalize UDFs.
+    4. The filter passes exactly one row per key, so no further reduce runs.
+    """
+    import shutil
+    import uuid
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    with phase("locator_collect"):
+        pdf = lww_winner_locators(candidates, key_cols).toPandas()
+        by_p = {}
+        base = 0
+        for r in sorted(ranges, key=lambda r: r["partition"]):
+            by_p[r["partition"]] = (r["min_offset"], r["max_offset"], base)
+            base += r["max_offset"] - r["min_offset"] + 1
+        max_p = max(by_p)
+        lo_arr = np.zeros(max_p + 1, dtype=np.int64)
+        base_arr = np.zeros(max_p + 1, dtype=np.int64)
+        for p, (lo, hi, b) in by_p.items():
+            lo_arr[p], base_arr[p] = lo, b
+        bits = np.zeros(base, dtype=np.uint8)
+        pi = pdf["p"].to_numpy()
+        oi = pdf["o"].to_numpy()
+        bits[base_arr[pi] + (oi - lo_arr[pi])] = 1
+        packed = np.packbits(bits, bitorder="little")
+        if packed.size % 8:  # pad to whole 64-bit words
+            packed = np.concatenate(
+                [packed, np.zeros(8 - packed.size % 8, dtype=np.uint8)])
+        words = packed.view(np.int64)
+
+        stage_dir = os.path.join(table_path, "_staging",
+                                 f"lww-bitmap-{uuid.uuid4().hex}")
+        os.makedirs(stage_dir, exist_ok=True)
+        bm_path = os.path.join(stage_dir, "bitmap.parquet")
+        pq.write_table(
+            pa.table({"_bm": pa.array([words], type=pa.list_(pa.int64()))}),
+            bm_path)
+
+    spark = candidates.sparkSession
+    bm = spark.read.parquet(bm_path)
+    p = F.col("_lww_partition")
+    o = F.col("_lww_offset")
+    valid = None
+    shift = None
+    for pid, (lo, hi, b) in sorted(by_p.items()):
+        cond = p == int(pid)
+        ok = cond & (o >= int(lo)) & (o <= int(hi))
+        valid = ok if valid is None else (valid | ok)
+        shift = (F.when(cond, int(b - lo)) if shift is None
+                 else shift.when(cond, int(b - lo)))
+    gidx = o + shift.otherwise(0)
+    word = F.element_at(F.col("_bm"), F.shiftright(gidx, 6).cast("int") + 1)
+    probe = valid & (F.getbit(word, F.pmod(gidx, 64)) == 1)
+    winners = (candidates.crossJoin(F.broadcast(bm))
+               .filter(probe)
+               .drop("_bm"))
+    return winners, lambda: shutil.rmtree(stage_dir, ignore_errors=True)
 
 
 def _hwm_filter(batch_df: DataFrame, applied: dict[int, int]) -> DataFrame:
@@ -108,6 +209,13 @@ def apply_batch(
     JSON-parse work, which is the apply path's dominant CPU (and its worst
     scaler: allocation-heavy parsing contends at high core counts).
     ``normalize=True`` likewise NFC-normalizes winner text only.
+
+    ``dedup_mode='locator'`` (requires ``manifest_ranges``) determines each
+    key's winning row by a narrow packed-stamp HashAggregate and then fetches
+    exactly those rows through an exact dense-offset bitmap probe — no sort,
+    no wide aggregate, no payload bytes on any shuffle (see
+    :func:`_locator_winners`). Falls back to ``'agg'`` when the manifest
+    ranges are absent or exceed the packed stamp's bit budget.
 
     ``dedup_mode='bucket'`` fuses LWW dedup onto a bucket-aligned shuffle:
     candidates are hash-partitioned once by the table's bucket expression
@@ -268,6 +376,12 @@ def apply_batch(
         F.col("partition").cast("int").alias("_lww_partition"),
     )
 
+    if dedup_mode == "locator" and not (
+            manifest_ranges is not None and ranges and _locator_supported(ranges)):
+        # locator needs the dense-manifest arithmetic ranges and the packed
+        # stamp's bit budget; outside them the classic kernel is the answer
+        dedup_mode = "agg"
+
     pre_partitioned = dedup_mode == "bucket"
     if pre_partitioned:
         # bucket computed BEFORE the (single) shuffle so the LWW agg and the
@@ -277,7 +391,11 @@ def apply_batch(
             candidates, table.key_cols, bucket_col=BUCKET_COL,
             num_buckets=table.n_buckets, salt=write_salt,
         )
-    else:
+    locator_cleanup = None
+    if dedup_mode == "locator":
+        winners, locator_cleanup = _locator_winners(
+            candidates, table.key_cols, ranges, table.path)
+    elif not pre_partitioned:
         winners = lww_reduce(candidates, table.key_cols, mode=dedup_mode)
     if late_decode:
         from mimic_iv_etl_spark.functions.textfns import decode_payload_json
@@ -337,14 +455,18 @@ def apply_batch(
         finally:
             scrub_observation_manager(spark)
     else:
-        with phase("append_delta"):
-            table.append_delta(
-                winners,
-                new_schema=merged if evolved else None,
-                summary={"applied_offsets": new_applied, "batch_id": batch_id},
-                write_salt=write_salt,
-                pre_partitioned=pre_partitioned,
-            )
+        try:
+            with phase("append_delta"):
+                table.append_delta(
+                    winners,
+                    new_schema=merged if evolved else None,
+                    summary={"applied_offsets": new_applied, "batch_id": batch_id},
+                    write_salt=write_salt,
+                    pre_partitioned=pre_partitioned,
+                )
+        finally:
+            if locator_cleanup is not None:
+                locator_cleanup()
     if cached is not None:
         cached.unpersist()
 

@@ -52,6 +52,7 @@ class ChangeLogSpec:
     evolve_at: float | None = None  # fraction of log after which F3 columns appear
     files_per_tranche: int = 4     # parquet files per tranche (stream source granularity)
     long_text_every: int = 997     # 1/N events get a >=16KB text (FIXTURES F1 tail case)
+    compression: str = "zstd"      # the standard lake codec; real change logs ship compressed
 
     hot_conv: str = field(init=False, default="conv-000000")
 
@@ -183,7 +184,8 @@ def generate_change_log(out_dir: str, spec: ChangeLogSpec | None = None) -> dict
             path = os.path.join(t_dir, f"part-{i:05d}.parquet")
             # small row groups keep files splittable: a 150k-row single-group
             # file caps Spark's scan parallelism at nfiles regardless of cores
-            pq.write_table(chunk, path, row_group_size=65536)
+            pq.write_table(chunk, path, row_group_size=65536,
+                           compression=spec.compression)
             files.append(path)
         # offset bounds + source-partition universe recorded at write time:
         # the replay driver reads them from this manifest instead of sweeping

@@ -128,7 +128,7 @@ def replay_log(
     schema=None,
     batch_offsets: int = 100_000,
     n_buckets: int = 32,
-    dedup_mode: str = "agg",
+    dedup_mode: str = "auto",
     compact_every: int | None = None,
     drop_payload: bool = True,
     write_salt: int = 1,
@@ -146,6 +146,12 @@ def replay_log(
     tails into cluster-durable parquet segments every K applied batches and
     once at the end of the replay (one tiny Spark job per flush, amortized
     off the apply hot path); ``None`` disables.
+
+    ``dedup_mode='auto'`` (default) picks the packed-stamp ``locator`` LWW
+    kernel when the log manifest carries verified dense per-partition offset
+    ranges, and the classic ``agg`` kernel otherwise; explicit modes
+    (``agg`` / ``window`` / ``salted_window`` / ``bucket`` / ``locator``)
+    are passed through.
     """
     if LakeTable.exists(table_path):
         table = LakeTable(spark, table_path)
@@ -215,8 +221,11 @@ def replay_log(
                     w_lo, w_hi = max(p_lo, start), min(p_hi, end - 1)
                     if w_lo <= w_hi:
                         window_ranges[p] = (w_lo, w_hi)
+            mode = dedup_mode
+            if mode == "auto":
+                mode = "locator" if window_ranges else "agg"
             stats = apply_batch(table, batch, batch_id=batch_seq,
-                                dedup_mode=dedup_mode, write_salt=write_salt,
+                                dedup_mode=mode, write_salt=write_salt,
                                 decode_payload=late_decode,
                                 normalize=normalize and late_decode,
                                 source_partitions=pids,

@@ -4,12 +4,19 @@ Semantics pinned by the reference's latest-record-per-key idiom
 (``feature_engineering.py:238-240``, SURVEY.md J7/W4), hardened with a total
 tiebreak: winner per key = max by ``(ts, _lww_offset, _lww_partition)``.
 
-Three interchangeable physical strategies (tests assert equivalence):
+Five interchangeable physical strategies (tests assert equivalence). The
+apply path's default on dense-manifest logs is the *locator* kernel
+(:func:`lww_winner_locators` + the bitmap fetch in ``cdc/apply.py``): a
+packed-decimal HashAggregate that never sorts and never moves payload bytes.
+The rest are :func:`lww_reduce` modes plus :func:`lww_bucket_fused`:
 
 - ``agg`` (default): ``groupBy(keys).agg(max_by(struct(*), stamp))``.
-  Hash aggregation with **map-side partial combine** — a hot key is reduced
-  inside every map task before the shuffle, so per-key skew cannot create a
-  straggler. This is the skew-proof plan and what the engine uses everywhere.
+  **Map-side partial combine** — a hot key is reduced inside every map task
+  before the shuffle, so per-key skew cannot create a straggler. Caveat
+  discovered in round 3: because the aggregation buffer carries strings it is
+  not fixed-width, so Catalyst plans this as SortAggregate (partial sort per
+  map partition), not HashAggregate — correct and skew-proof, but the
+  sort+GC cost is why the locator kernel exists and is preferred.
 - ``window``: ``row_number() OVER (PARTITION BY keys ORDER BY stamp DESC)=1``
   — the literal Spark translation of the reference idiom; shuffles every row
   of a key to one task (skew-sensitive; kept for parity testing).
@@ -86,6 +93,63 @@ def lww_reduce(
         )
 
     raise ValueError(f"unknown lww mode: {mode}")
+
+
+# Packed-stamp layout: ts_micros × 2^52 + offset × 2^16 + partition, as
+# DECIMAL(38,0). Bit budget: |ts_micros| < 2^51 (±year ~73k), offset < 2^36
+# (covers 10^10 events/partition), partition < 2^16. Lexicographic order of
+# (ts, offset, partition) is preserved exactly; the max is a FIXED-WIDTH
+# aggregation buffer, so Catalyst plans a true HashAggregate. The wide-struct
+# ``max_by`` CANNOT: a string-bearing aggregation buffer forces SortAggregate
+# — which quietly made the r1/r2 LWW kernel sort every candidate row per
+# batch (the measured CPU+GC scaling killer at high core counts).
+PACK_TS_SHIFT = 1 << 52
+PACK_OFF_SHIFT = 1 << 16
+PACK_MAX_OFFSET = 1 << 36
+PACK_MAX_PARTITION = 1 << 16
+
+
+def lww_pack_stamp(
+    ts_col: str = "ts",
+    offset_col: str = "_lww_offset",
+    partition_col: str = "_lww_partition",
+) -> F.Column:
+    """The LWW stamp ``(ts, offset, partition)`` packed into one
+    DECIMAL(38,0), order-preserving. NULL ts sorts below every real ts (same
+    as struct comparison in the ``max_by`` kernel)."""
+    micros = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    micros = F.coalesce(micros, F.lit(-(1 << 62)))
+    return (
+        micros.cast("decimal(38,0)") * F.lit(PACK_TS_SHIFT).cast("decimal(38,0)")
+        + (F.col(offset_col) * PACK_OFF_SHIFT + F.col(partition_col)).cast(
+            "decimal(38,0)")
+    )
+
+
+def lww_winner_locators(
+    df: DataFrame,
+    key_cols: Sequence[str],
+    ts_col: str = "ts",
+    offset_col: str = "_lww_offset",
+    partition_col: str = "_lww_partition",
+) -> DataFrame:
+    """Per-key winner LOCATOR ``(p, o)`` — the source coordinates of the LWW
+    winning row — via hash aggregation over the packed stamp. The plan reads
+    ONLY the key/stamp columns (payloads are column-pruned out of the scan)
+    and its aggregation buffer is one 16-byte decimal, so a change batch is
+    reduced without sorting and without a single payload byte on the wire."""
+    keys = list(key_cols)
+    pack = lww_pack_stamp(ts_col, offset_col, partition_col)
+    low = F.pmod(F.col("_w"), F.lit(PACK_TS_SHIFT).cast("decimal(38,0)")).cast("long")
+    return (
+        df.groupBy(*keys)
+        .agg(F.max(pack).alias("_w"))
+        .select(low.alias("_low"))
+        .select(
+            F.col("_low").bitwiseAND(F.lit(PACK_OFF_SHIFT - 1)).cast("int").alias("p"),
+            F.shiftright(F.col("_low"), 16).alias("o"),
+        )
+    )
 
 
 def lww_bucket_fused(

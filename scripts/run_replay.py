@@ -36,8 +36,13 @@ def main() -> None:
     p.add_argument("--batch-offsets", type=int, default=1_000_000)
     p.add_argument("--buckets", type=int, default=32)
     p.add_argument("--compact-every", type=int, default=None)
-    p.add_argument("--dedup-mode", default="agg",
-                   choices=["agg", "window", "salted_window"])
+    p.add_argument("--dedup-mode", default="auto",
+                   choices=["auto", "agg", "window", "salted_window", "bucket",
+                            "locator"])
+    p.add_argument("--decode-payload", action="store_true",
+                   help="events arrive JSON-encoded; decode winners post-LWW")
+    p.add_argument("--normalize", action="store_true",
+                   help="NFC-normalize winner text (Arrow pandas UDF)")
     args = p.parse_args()
 
     # under spark-submit a session already exists; standalone builds local
@@ -62,6 +67,8 @@ def main() -> None:
         n_buckets=args.buckets,
         dedup_mode=args.dedup_mode,
         compact_every=args.compact_every,
+        decode_payload=args.decode_payload,
+        normalize=args.normalize,
     )
     print(json.dumps(out))
 

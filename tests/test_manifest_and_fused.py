@@ -31,17 +31,20 @@ from mimic_iv_etl_spark.lake.table import BUCKET_COL, LakeTable
 from tests.util import TRANSCRIPT_SCHEMA, assert_final_state_equal
 
 
+@pytest.mark.parametrize("mode", ["auto", "agg"])
 def test_replay_uses_manifest_arithmetic_and_matches_oracle(
-        spark, small_log, tmp_path):
+        spark, small_log, tmp_path, mode):
     """The generator's manifest carries dense per-partition offset ranges, so
     the whole replay does its exactly-once bookkeeping with no Observation
     and no ranges aggregate — and still lands oracle-equal state with exact
-    per-partition lineage."""
+    per-partition lineage. 'auto' resolves to the packed-stamp locator
+    kernel, so this run IS the locator correctness gate (ties, late
+    arrivals, deletes, hot keys — all through the independent oracle)."""
     d, spec, manifest = small_log
     assert all(t["dense_offsets"] for t in manifest["tranches"])
-    tp = str(tmp_path / "t_manifest")
+    tp = str(tmp_path / f"t_manifest_{mode}")
     out = replay_log(spark, d, tp, schema=TRANSCRIPT_SCHEMA,
-                     batch_offsets=700, n_buckets=8)
+                     batch_offsets=700, n_buckets=8, dedup_mode=mode)
     assert out["events_applied"] == spec.n_events
     tbl = LakeTable(spark, tp)
     assert_final_state_equal(tbl.read(), duckdb_final_state(d))
@@ -60,6 +63,43 @@ def test_replay_uses_manifest_arithmetic_and_matches_oracle(
     assert out2["events_applied"] == 0
     assert out2["batches"] == 0
     assert LakeTable(spark, tp).version == v
+
+
+def test_locator_kernel_is_hash_aggregate_and_matches_agg(spark, small_log):
+    """The packed-stamp winner-locator plan must be a HashAggregate (the
+    wide max_by struct kernel silently degrades to SortAggregate — the r2
+    scaling killer), and its locator set must equal the classic agg plan's
+    winners exactly."""
+    from mimic_iv_etl_spark.lake.merge import lww_winner_locators
+
+    d, _, _ = small_log
+    log = spark.read.parquet(*sorted(glob.glob(f"{d}/tranche-*")))
+    cand = log.select(
+        "conv_id", "turn_idx", "ts",
+        (F.col("op") == "D").alias("_deleted"),
+        F.col("offset").cast("long").alias("_lww_offset"),
+        F.col("partition").cast("int").alias("_lww_partition"))
+
+    locs = lww_winner_locators(cand, ["conv_id", "turn_idx"])
+    plan = locs._jdf.queryExecution().executedPlan().toString()
+    assert "HashAggregate" in plan and "SortAggregate" not in plan, plan
+
+    got = {(r["p"], r["o"]) for r in locs.collect()}
+    agg = lww_reduce(cand, ["conv_id", "turn_idx"], mode="agg")
+    want = {(r["_lww_partition"], r["_lww_offset"]) for r in agg.collect()}
+    assert got == want
+
+
+def test_locator_bit_budget_fallback():
+    from mimic_iv_etl_spark.cdc.apply import _locator_supported
+
+    ok = [{"partition": 3, "min_offset": 0, "max_offset": 10_000}]
+    assert _locator_supported(ok)
+    assert not _locator_supported([])
+    assert not _locator_supported(
+        [{"partition": 70_000, "min_offset": 0, "max_offset": 10}])
+    assert not _locator_supported(
+        [{"partition": 0, "min_offset": 0, "max_offset": 1 << 37}])
 
 
 @pytest.mark.parametrize("salt", [1, 4])
