@@ -45,8 +45,15 @@ def main() -> None:
                    help="NFC-normalize winner text (Arrow pandas UDF)")
     args = p.parse_args()
 
-    # under spark-submit a session already exists; standalone builds local
-    spark = SparkSession.getActiveSession() or get_spark_session("cdc-replay")
+    # under spark-submit, --master/--conf arrive via SparkConf defaults — use
+    # them untouched; standalone invocation builds the tuned local session
+    from pyspark import SparkConf
+
+    spark = SparkSession.getActiveSession()
+    if spark is None and SparkConf().contains("spark.master"):
+        spark = SparkSession.builder.getOrCreate()
+    elif spark is None:
+        spark = get_spark_session("cdc-replay")
 
     schema = T.StructType(
         [
