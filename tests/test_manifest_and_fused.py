@@ -90,6 +90,40 @@ def test_locator_kernel_is_hash_aggregate_and_matches_agg(spark, small_log):
     assert got == want
 
 
+def test_locator_resume_with_different_windows(spark, small_log, tmp_path):
+    """Crash/resume where the second replay slices the offset space into
+    DIFFERENT micro-batch windows: every window partially overlaps applied
+    state, so the locator bitmap must be built from hwm-clipped ranges and
+    the hwm row filter must agree with it exactly — any drift double-applies
+    or drops rows and the oracle equality below fails."""
+    from mimic_iv_etl_spark.cdc.replay import _manifest_tranches
+
+    d, spec, _ = small_log
+    tp = str(tmp_path / "t_rewin")
+    tranche = sorted(glob.glob(f"{d}/tranche-*"))[0]
+    t_meta = _manifest_tranches(d)[tranche]
+    # first pass: one locator batch covering only offsets [0, 1100) — the
+    # table is left mid-window relative to the 700-wide replay below
+    window0 = {}
+    for p, (lo, hi) in ((int(p), (int(r[0]), int(r[1])))
+                        for p, r in t_meta["partition_offsets"].items()):
+        if lo < 1100:
+            window0[p] = (lo, min(hi, 1099))
+    tbl = LakeTable.create(spark, tp, TRANSCRIPT_SCHEMA, n_buckets=4)
+    df = spark.read.parquet(tranche).drop("payload")
+    stats1 = apply_batch(tbl, df.filter(F.col("offset") < 1100), batch_id=0,
+                         dedup_mode="locator", manifest_ranges=window0)
+    assert 0 < stats1["events_applied"] < spec.n_events
+    # resume with 700-wide windows: window [700, 1400) straddles the
+    # committed high-water marks — 700..1099 stale, 1100..1399 fresh
+    out2 = replay_log(spark, d, tp, batch_offsets=700)
+    assert stats1["events_applied"] + out2["events_applied"] == spec.n_events
+    assert_final_state_equal(LakeTable(spark, tp).read(), duckdb_final_state(d))
+    # applied exactly once: lineage events sum to the log size
+    lin = read_lineage(spark, tp).toPandas()
+    assert int(lin["events"].sum()) == spec.n_events
+
+
 def test_locator_bit_budget_fallback():
     from mimic_iv_etl_spark.cdc.apply import _locator_supported
 
