@@ -60,11 +60,17 @@ META_COLS = ("op", "offset", "partition", "payload")
 # a win over a broadcast-join filter (expression size, codegen limits)
 _HWM_PREDICATE_CAP = 64
 
+# the locator bitmap probe builds one chained when() clause per source
+# partition (valid/shift expressions) — same codegen-blowup hazard as the
+# hwm predicate, same cap; beyond it the agg kernel is the answer
+_LOCATOR_PARTITION_CAP = 64
+
 
 def _locator_supported(ranges: list[dict]) -> bool:
     """Whether the packed-stamp locator kernel's bit budget covers this
-    batch's offset/partition coordinates (offset < 2^36, partition < 2^16)."""
-    return bool(ranges) and all(
+    batch's offset/partition coordinates (offset < 2^36, partition < 2^16)
+    and the partition fan-out stays within the chained-predicate cap."""
+    return bool(ranges) and len(ranges) <= _LOCATOR_PARTITION_CAP and all(
         0 <= r["partition"] < PACK_MAX_PARTITION
         and 0 <= r["min_offset"]
         and r["max_offset"] < PACK_MAX_OFFSET
@@ -107,6 +113,13 @@ def _locator_winners(candidates: DataFrame, key_cols: list[str],
 
     with phase("locator_collect"):
         pdf = lww_winner_locators(candidates, key_cols).toPandas()
+        if len(pdf) and pdf[["p", "o"]].isna().any().any():
+            # a NULL (partition, offset) stamp violates the WAL contract the
+            # dense-offset arithmetic rests on; indexing with NaN would raise
+            # an opaque IndexError below — fail loudly instead
+            raise RuntimeError(
+                "locator kernel: winner rows with NULL (partition, offset) — "
+                "the change log violates the WAL stamp contract")
         by_p = {}
         base = 0
         for r in sorted(ranges, key=lambda r: r["partition"]):
@@ -114,12 +127,24 @@ def _locator_winners(candidates: DataFrame, key_cols: list[str],
             base += r["max_offset"] - r["min_offset"] + 1
         max_p = max(by_p)
         lo_arr = np.zeros(max_p + 1, dtype=np.int64)
+        hi_arr = np.full(max_p + 1, -1, dtype=np.int64)
         base_arr = np.zeros(max_p + 1, dtype=np.int64)
         for p, (lo, hi, b) in by_p.items():
-            lo_arr[p], base_arr[p] = lo, b
-        bits = np.zeros(base, dtype=np.uint8)
+            lo_arr[p], hi_arr[p], base_arr[p] = lo, hi, b
         pi = pdf["p"].to_numpy()
         oi = pdf["o"].to_numpy()
+        # free driver-side half of the manifest cross-check: a winner outside
+        # the declared (partition, offset) ranges proves the batch holds rows
+        # the manifest doesn't claim — abort before any write
+        pc = np.clip(pi, 0, max_p)
+        bad = (pi < 0) | (pi > max_p) | (oi < lo_arr[pc]) | (oi > hi_arr[pc])
+        if bad.any():
+            raise RuntimeError(
+                f"manifest_ranges cross-check failed — {int(bad.sum())} LWW "
+                "winners land outside the declared per-partition offset "
+                "ranges; committing would desync applied_offsets from the "
+                "actually-applied events")
+        bits = np.zeros(base, dtype=np.uint8)
         bits[base_arr[pi] + (oi - lo_arr[pi])] = 1
         packed = np.packbits(bits, bitorder="little")
         if packed.size % 8:  # pad to whole 64-bit words
@@ -171,8 +196,13 @@ def _hwm_filter(batch_df: DataFrame, applied: dict[int, int]) -> DataFrame:
             is_p = F.col("partition") == int(p)
             pred = clause if pred is None else (pred | clause)
             known = is_p if known is None else (known | is_p)
-        # events from partitions with no committed hwm are always fresh
-        return batch_df.filter(pred | ~known)
+        # events from partitions with no committed hwm are always fresh; a
+        # NULL partition must be kept too (pred | ~known is NULL for it, and
+        # the broadcast-join path below keeps such rows via coalesce(_hwm,-1)
+        # — the two paths must agree) so the downstream unknown-partition
+        # guards see and reject it instead of it silently vanishing here
+        return batch_df.filter(
+            pred | ~known | F.col("partition").isNull())
     rows = [(int(p), int(o)) for p, o in applied.items()]
     hwm = batch_df.sparkSession.createDataFrame(rows, "partition int, _hwm long")
     return (
@@ -194,6 +224,8 @@ def apply_batch(
     normalize: bool = False,
     source_partitions: list[int] | None = None,
     manifest_ranges: dict[int, tuple[int, int]] | None = None,
+    validate_manifest: bool = True,
+    locator_driver_budget: int = 512 << 20,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``. Returns stats.
 
@@ -235,7 +267,26 @@ def apply_batch(
     write job — still exactly one Spark action per batch. A batch containing
     a partition outside the list aborts before commit (staged files are
     discarded) — silently applying it would leave the offset high-water mark
-    unrecorded and break exactly-once on redelivery."""
+    unrecorded and break exactly-once on redelivery.
+
+    ``validate_manifest`` (default True): the manifest-arithmetic path fully
+    trusts ``manifest_ranges`` — a batch holding rows OUTSIDE the declared
+    ranges (unknown partition, NULL partition, offset past the declared hi)
+    or MISSING rows the manifest claims (truncated/corrupt file) would
+    otherwise advance ``applied_offsets`` past never-applied events: silent
+    data loss. With validation on, two counters (rows total / rows outside
+    the declared ranges) ride the batch's first job as ``Observation``
+    metrics and are cross-checked against the arithmetic ``events_applied``
+    before commit; any mismatch aborts with staged files discarded —
+    mirroring the ``source_partitions`` guard. Skipped (with the same loud
+    fallback as the scrub guard) on Spark versions where the Observation
+    scrub is unavailable.
+
+    ``locator_driver_budget`` bounds the locator kernel's one deliberate
+    driver round-trip (winner locators + offset bitmap). The pre-flight
+    bound ``events_in_window × 16B + window_bits / 8`` is checked against
+    it; a batch over budget (misconfigured huge ``batch_offsets``) degrades
+    to ``dedup_mode='agg'`` instead of OOMing the driver."""
     t0 = time.monotonic()
     spark = table.spark
 
@@ -268,6 +319,7 @@ def apply_batch(
             "skipped": True,
             "snapshot_version": table.version,
             "lag_events": None,
+            "dedup_mode": None,
         }
         append_metrics(table.path, stats)
         return stats
@@ -309,6 +361,34 @@ def apply_batch(
         fresh = cached = fresh.persist(StorageLevel.MEMORY_AND_DISK)
 
     from mimic_iv_etl_spark.session import observation_scrub_available
+
+    obs_val = None
+    if (manifest_ranges is not None and validate_manifest
+            and observation_scrub_available()):
+        # -- manifest cross-check: counters ride the batch's first job --
+        import uuid
+
+        from pyspark.sql import Observation
+
+        if len(ranges) <= _HWM_PREDICATE_CAP:
+            known = None
+            for r in ranges:
+                ok = ((F.col("partition") == int(r["partition"]))
+                      & (F.col("offset") >= int(r["min_offset"]))
+                      & (F.col("offset") <= int(r["max_offset"])))
+                known = ok if known is None else (known | ok)
+        else:
+            # membership-only beyond the chained-predicate cap; the n_total
+            # cross-check still catches out-of-range offsets
+            known = F.col("partition").isin(
+                [int(r["partition"]) for r in ranges])
+        obs_val = Observation(f"validate_manifest_{uuid.uuid4().hex[:8]}")
+        fresh = fresh.observe(
+            obs_val,
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("partition").isNull() | ~known, True))
+            .alias("n_unknown"),
+        )
 
     if (manifest_ranges is None and source_partitions is not None
             and observation_scrub_available()):
@@ -376,11 +456,21 @@ def apply_batch(
         F.col("partition").cast("int").alias("_lww_partition"),
     )
 
-    if dedup_mode == "locator" and not (
-            manifest_ranges is not None and ranges and _locator_supported(ranges)):
-        # locator needs the dense-manifest arithmetic ranges and the packed
-        # stamp's bit budget; outside them the classic kernel is the answer
-        dedup_mode = "agg"
+    if dedup_mode == "locator":
+        # locator needs the dense-manifest arithmetic ranges, the packed
+        # stamp's bit budget, and a bounded driver transfer; outside them the
+        # classic kernel is the answer
+        usable = (manifest_ranges is not None and ranges
+                  and _locator_supported(ranges))
+        if usable:
+            window_bits = sum(
+                r["max_offset"] - r["min_offset"] + 1 for r in ranges)
+            # winners ≤ events in the window → events_applied × 16B bounds
+            # the locator Arrow transfer; window_bits/8 is the exact bitmap
+            if events_applied * 16 + window_bits // 8 > locator_driver_budget:
+                usable = False
+        if not usable:
+            dedup_mode = "agg"
 
     pre_partitioned = dedup_mode == "bucket"
     if pre_partitioned:
@@ -454,6 +544,31 @@ def apply_batch(
                     summary={"applied_offsets": new_applied, "batch_id": batch_id})
         finally:
             scrub_observation_manager(spark)
+    elif obs_val is not None:
+        from mimic_iv_etl_spark.session import scrub_observation_manager
+
+        try:
+            with phase("append_delta"):
+                entries, schema_id, schemas = table.stage_delta(
+                    winners, new_schema=merged if evolved else None,
+                    write_salt=write_salt, pre_partitioned=pre_partitioned)
+                m = obs_val.get  # resolved by the batch's first job
+                if m["n_unknown"] or int(m["n_total"]) != int(events_applied):
+                    table.discard_staged(entries)
+                    raise RuntimeError(
+                        f"batch {batch_id}: manifest_ranges cross-check failed "
+                        f"— {m['n_unknown']} events outside the declared "
+                        f"ranges, {m['n_total']} present vs {events_applied} "
+                        "declared; committing would desync applied_offsets "
+                        "from the actually-applied events")
+                table.commit_delta(
+                    entries, schema_id, schemas,
+                    summary={"applied_offsets": new_applied,
+                             "batch_id": batch_id})
+        finally:
+            if locator_cleanup is not None:
+                locator_cleanup()
+            scrub_observation_manager(spark)
     else:
         try:
             with phase("append_delta"):
@@ -486,6 +601,7 @@ def apply_batch(
         "skipped": False,
         "snapshot_version": table.version,
         "lag_events": None,
+        "dedup_mode": dedup_mode,
     }
     with phase("metrics_lineage"):
         append_metrics(table.path, stats)

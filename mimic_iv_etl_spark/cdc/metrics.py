@@ -43,6 +43,7 @@ METRICS_SCHEMA = T.StructType(
         T.StructField("skipped", T.BooleanType(), False),
         T.StructField("snapshot_version", T.LongType(), True),
         T.StructField("lag_events", T.LongType(), True),
+        T.StructField("dedup_mode", T.StringType(), True),
     ]
 )
 

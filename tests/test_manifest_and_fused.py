@@ -290,3 +290,113 @@ def test_scrub_version_guard(spark, small_log, tmp_path, monkeypatch):
                         source_partitions=list(range(spec.n_partitions)))
     assert stats["events_applied"] == spec.n_events
     assert_final_state_equal(tbl.read(), duckdb_final_state(d))
+
+
+def test_locator_driver_budget_falls_back_to_agg(spark, small_log, tmp_path):
+    """VERDICT r03 item 5: a batch whose estimated locator driver transfer
+    (winner locators + offset bitmap) exceeds the configured budget must
+    degrade to the agg kernel — same oracle-exact final state — instead of
+    risking a driver OOM."""
+    from mimic_iv_etl_spark.cdc.replay import _manifest_tranches
+
+    d, spec, _ = small_log
+    tranche = sorted(glob.glob(f"{d}/tranche-*"))[0]
+    t_meta = _manifest_tranches(d)[tranche]
+    ranges = {int(p): (int(r[0]), int(r[1]))
+              for p, r in t_meta["partition_offsets"].items()}
+    df = spark.read.parquet(tranche).drop("payload")
+    tp = str(tmp_path / "t_budget")
+    tbl = LakeTable.create(spark, tp, TRANSCRIPT_SCHEMA, n_buckets=4)
+    stats = apply_batch(tbl, df, batch_id=0, dedup_mode="locator",
+                        manifest_ranges=ranges, locator_driver_budget=1024)
+    assert stats["dedup_mode"] == "agg"
+    assert stats["events_applied"] == spec.n_events
+    assert_final_state_equal(tbl.read(), duckdb_final_state(d))
+
+
+def test_locator_partition_cap_falls_back(monkeypatch):
+    """ADVICE r03: the chained when() valid/shift expressions must not blow
+    codegen on many-partition logs — the support check rejects fan-outs past
+    the cap."""
+    from mimic_iv_etl_spark.cdc.apply import _locator_supported
+
+    many = [{"partition": p, "min_offset": 0, "max_offset": 10}
+            for p in range(65)]
+    assert not _locator_supported(many)
+    assert _locator_supported(many[:64])
+
+
+def test_manifest_validation_aborts_on_missing_offsets(spark, small_log,
+                                                       tmp_path):
+    """ADVICE r03 (medium): manifest_ranges claiming offsets the data does
+    not contain (truncated/corrupt file) must abort BEFORE commit — silently
+    advancing applied_offsets past never-applied events is undetectable data
+    loss. Staged files are discarded; the table stays untouched."""
+    from mimic_iv_etl_spark.cdc.replay import _manifest_tranches
+
+    d, spec, _ = small_log
+    tranche = sorted(glob.glob(f"{d}/tranche-*"))[0]
+    t_meta = _manifest_tranches(d)[tranche]
+    ranges = {int(p): (int(r[0]), int(r[1]))
+              for p, r in t_meta["partition_offsets"].items()}
+    p0 = min(ranges)
+    ranges[p0] = (ranges[p0][0], ranges[p0][1] + 500)  # 500 phantom offsets
+    df = spark.read.parquet(tranche).drop("payload")
+    tp = str(tmp_path / "t_val_missing")
+    tbl = LakeTable.create(spark, tp, TRANSCRIPT_SCHEMA, n_buckets=4)
+    v0 = tbl.version
+    with pytest.raises(RuntimeError, match="cross-check"):
+        apply_batch(tbl, df, batch_id=0, dedup_mode="locator",
+                    manifest_ranges=ranges)
+    tbl2 = LakeTable(spark, tp)
+    assert tbl2.version == v0
+    assert tbl2.applied_offsets == {}
+    assert tbl2.read().count() == 0
+
+
+def test_manifest_validation_aborts_on_undeclared_partition(spark, small_log,
+                                                            tmp_path):
+    """Rows from a partition absent from manifest_ranges must abort, not be
+    silently dropped (locator) or applied-but-unrecorded (agg)."""
+    from mimic_iv_etl_spark.cdc.replay import _manifest_tranches
+
+    d, spec, _ = small_log
+    tranche = sorted(glob.glob(f"{d}/tranche-*"))[0]
+    t_meta = _manifest_tranches(d)[tranche]
+    ranges = {int(p): (int(r[0]), int(r[1]))
+              for p, r in t_meta["partition_offsets"].items()}
+    del ranges[max(ranges)]  # data still holds this partition's rows
+    df = spark.read.parquet(tranche).drop("payload")
+    for mode in ("locator", "agg"):
+        tp = str(tmp_path / f"t_val_undecl_{mode}")
+        tbl = LakeTable.create(spark, tp, TRANSCRIPT_SCHEMA, n_buckets=4)
+        with pytest.raises(RuntimeError, match="cross-check"):
+            apply_batch(tbl, df, batch_id=0, dedup_mode=mode,
+                        manifest_ranges=ranges)
+        tbl2 = LakeTable(spark, tp)
+        assert tbl2.applied_offsets == {}
+        assert tbl2.read().count() == 0
+
+
+def test_upgrade_manifest_backfills_file_offsets(spark, tmp_path):
+    """upgrade_manifest must (idempotently) backfill per-file dense ranges on
+    logs written before the field existed, verifying density per file."""
+    d = str(tmp_path / "log_up")
+    generate_change_log(d, ChangeLogSpec(n_events=2_000, n_convs=100,
+                                         n_partitions=3, seed=5))
+    mpath = os.path.join(d, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    for t in manifest["tranches"]:
+        written = t.pop("file_offsets")
+        t.pop("partition_offsets")
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    up = upgrade_manifest(d)
+    t0 = up["tranches"][0]
+    assert t0["dense_offsets"] and t0["file_offsets"] == written
+    # idempotent: second run rewrites nothing
+    mtime = os.path.getmtime(mpath)
+    upgrade_manifest(d)
+    assert os.path.getmtime(mpath) == mtime

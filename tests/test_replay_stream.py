@@ -81,3 +81,96 @@ def test_stream_crash_and_resume_exactly_once(spark, small_log, tmp_path):
     # restart from the same checkpoint: re-delivered batch no-ops, rest applies
     table = stream_log(spark, d, tp, ckpt)
     assert_final_state_equal(table.read(), duckdb_final_state(d))
+
+
+def test_stream_micro_batches_run_locator_kernel(spark, small_log, tmp_path,
+                                                 monkeypatch):
+    """VERDICT r03 item 2 (streaming locator parity): each foreachBatch
+    micro-batch must derive dense ranges from the manifest's per-file offsets
+    and run the packed-stamp locator kernel — a HashAggregate plan with no
+    SortAggregate — exactly like batch replay, with the arithmetic offset
+    bookkeeping (no Observation on the hot path)."""
+    import mimic_iv_etl_spark.cdc.apply as apply_mod
+    from mimic_iv_etl_spark.lake.merge import lww_winner_locators as real
+
+    plans: list[str] = []
+
+    def spy(candidates, key_cols):
+        out = real(candidates, key_cols)
+        plans.append(out._jdf.queryExecution().executedPlan().toString())
+        return out
+
+    monkeypatch.setattr(apply_mod, "lww_winner_locators", spy)
+
+    modes: list[str] = []
+    d, spec, _ = small_log
+    tp = str(tmp_path / "t_loc_stream")
+    table = stream_log(
+        spark, d, tp, str(tmp_path / "ckpt_loc"), schema=TRANSCRIPT_SCHEMA,
+        n_buckets=8, on_batch=lambda e, s: modes.append(s["dedup_mode"]))
+    assert modes and all(m == "locator" for m in modes), modes
+    assert plans and all(
+        "HashAggregate" in p and "SortAggregate" not in p for p in plans)
+    assert_final_state_equal(table.read(), duckdb_final_state(d))
+
+
+def test_stream_multi_file_batches_merge_ranges(spark, small_log, tmp_path):
+    """A micro-batch spanning several contiguous files merges their per-file
+    ranges into one dense span; final state still oracle-exact."""
+    modes: list[str] = []
+    d, spec, _ = small_log
+    tp = str(tmp_path / "t_loc_stream2")
+    table = stream_log(
+        spark, d, tp, str(tmp_path / "ckpt_loc2"), schema=TRANSCRIPT_SCHEMA,
+        n_buckets=8, max_files_per_trigger=2,
+        on_batch=lambda e, s: modes.append(s["dedup_mode"]))
+    assert modes and all(m == "locator" for m in modes), modes
+    assert_final_state_equal(table.read(), duckdb_final_state(d))
+
+
+def test_stream_without_file_manifest_falls_back_to_agg(spark, small_log,
+                                                        tmp_path):
+    """A log whose manifest predates (or failed) per-file ranges streams
+    through the Observation-bookkeeping + agg path, same final state."""
+    import json
+    import os
+    import shutil
+
+    d, spec, _ = small_log
+    d2 = str(tmp_path / "log_nofo")
+    shutil.copytree(d, d2)
+    mpath = os.path.join(d2, "manifest.json")
+    with open(mpath) as f:
+        manifest = json.load(f)
+    for t in manifest["tranches"]:
+        t["file_offsets"] = None
+    with open(mpath, "w") as f:
+        json.dump(manifest, f)
+
+    modes: list[str] = []
+    tp = str(tmp_path / "t_agg_stream")
+    table = stream_log(
+        spark, d2, tp, str(tmp_path / "ckpt_agg"), schema=TRANSCRIPT_SCHEMA,
+        n_buckets=8, on_batch=lambda e, s: modes.append(s["dedup_mode"]))
+    assert modes and all(m == "agg" for m in modes), modes
+    assert_final_state_equal(table.read(), duckdb_final_state(d))
+
+
+def test_batch_ranges_density_cross_check():
+    """_batch_ranges only returns ranges when the batch's files tile a
+    gapless per-partition span; gappy unions and unmanifested files fall
+    back to None (→ Observation bookkeeping)."""
+    from mimic_iv_etl_spark.cdc.stream import _batch_ranges
+
+    fo = {
+        "a.parquet": {0: (0, 9), 1: (0, 4)},
+        "b.parquet": {0: (10, 19)},
+        "c.parquet": {0: (30, 39)},  # gap vs a/b on partition 0
+    }
+    assert _batch_ranges({"a.parquet", "b.parquet"}, fo) == {
+        0: (0, 19), 1: (0, 4)}
+    assert _batch_ranges({"a.parquet", "c.parquet"}, fo) is None
+    assert _batch_ranges({"zz.parquet"}, fo) is None
+    assert _batch_ranges(set(), fo) is None
+    assert _batch_ranges(None, fo) is None
+    assert _batch_ranges({"a.parquet"}, None) is None
