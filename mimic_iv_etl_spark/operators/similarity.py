@@ -74,13 +74,39 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
 def hyperplane_signature(df: DataFrame, vec_col: str = "embedding",
                          n_planes: int = 16, seed: int = 42,
-                         alias: str = "lsh_sig") -> Column | DataFrame:
-    """Random-hyperplane signature: bit p = sign(v · h_p) where component i of
-    plane p is a deterministic pseudo-random ±1/±2/... value derived from
-    ``xxhash64(seed|p|i)``. Expressed with nested higher-order functions —
-    per-row cost O(n_planes × dim), no Python, no shuffle."""
+                         alias: str = "lsh_sig",
+                         planes: list[list[float]] | None = None
+                         ) -> Column | DataFrame:
+    """Random-hyperplane signature: bit p = sign(v · h_p).
+
+    Two plane sources:
+
+    - ``planes=None`` (default): component i of plane p is a deterministic
+      pseudo-random value derived from ``xxhash64(seed|p|i)`` — zero driver
+      state, reproducible anywhere. Expressed with nested higher-order
+      functions; per-row cost O(n_planes × dim), no Python, no shuffle.
+    - explicit ``planes`` (list of n_planes × dim floats): each plane becomes
+      a literal-array dot product — same signature semantics, but the plane
+      values are *portable* (an external system, e.g. a SQL engine holding
+      the same literals, reproduces the exact buckets — this is how the
+      driver gate's DuckDB oracle independently recomputes the LSH buckets).
+    """
     from functools import reduce
     from operator import add
+
+    if planes is not None:
+        if len(planes) != n_planes:
+            raise ValueError(f"expected {n_planes} planes, got {len(planes)}")
+        terms = []
+        for p, plane in enumerate(planes):
+            lit = F.array(*[F.lit(float(x)) for x in plane])
+            dot = F.aggregate(
+                F.zip_with(F.col(vec_col).cast("array<double>"), lit,
+                           lambda x, y: x * y),
+                F.lit(0.0), lambda acc, x: acc + x)
+            terms.append(F.when(dot > 0, F.lit(1 << p).cast("long"))
+                         .otherwise(F.lit(0).cast("long")))
+        return df.withColumn(alias, reduce(add, terms))
 
     dots = F.aggregate(
         F.zip_with(
@@ -123,19 +149,22 @@ def hyperplane_signature(df: DataFrame, vec_col: str = "embedding",
 
 def lsh_bucketed_topk(df: DataFrame, queries: DataFrame, k: int = 10,
                       id_col: str = "vec_id", vec_col: str = "embedding",
-                      n_planes: int = 12, seed: int = 42) -> DataFrame:
+                      n_planes: int = 12, seed: int = 42,
+                      planes: list[list[float]] | None = None) -> DataFrame:
     """Approximate top-k: candidates share the query's hyperplane-signature
     bucket; exact cosine + top-k only within buckets. Recall/cost dial =
-    ``n_planes`` (more planes → smaller buckets → faster, lower recall)."""
+    ``n_planes`` (more planes → smaller buckets → faster, lower recall).
+    ``planes`` (optional explicit hyperplanes) makes the bucketing portable —
+    see :func:`hyperplane_signature`."""
     from pyspark.sql import Window
 
     corp = hyperplane_signature(
         df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv")),
-        "_cv", n_planes=n_planes, seed=seed,
+        "_cv", n_planes=n_planes, seed=seed, planes=planes,
     )
     qry = hyperplane_signature(
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("_qv")),
-        "_qv", n_planes=n_planes, seed=seed,
+        "_qv", n_planes=n_planes, seed=seed, planes=planes,
     )
     scored = (
         corp.join(qry, "lsh_sig")
@@ -156,11 +185,17 @@ def lsh_bucketed_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
              n_lists: int = 16, n_probe: int = 2,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 42) -> DataFrame:
+             seed: int = 42,
+             centroid_ids: list | None = None) -> DataFrame:
     """IVF (inverted-file) approximate top-k: the corpus is clustered into
     ``n_lists`` cells around deterministic centroids (a seeded hash-sample of
     the corpus — one pass, no iterative k-means needed for a coarse
     quantizer); each query scores only its ``n_probe`` nearest cells.
+
+    ``centroid_ids`` pins the centroid rows explicitly (by ``id_col`` value)
+    instead of the hash sample — portable cell assignment an external system
+    can reproduce from the same table (the driver gate's DuckDB oracle does
+    exactly this).
 
     Scale shape: centroids are a broadcast-sized list; cell assignment is a
     per-row argmin over ``n_lists`` dot products (codegen'd expression, no
@@ -170,15 +205,18 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     """
     from pyspark.sql import Window
 
-    # deterministic coarse centroids: the n_lists corpus rows with the
-    # smallest xxhash64(id) — a seeded uniform sample, stable across runs
-    centroids = [
-        (r[0], [float(x) for x in r[1]])
-        for r in df.select(id_col, vec_col)
-        .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
-        .limit(n_lists)
-        .collect()
-    ]
+    # deterministic coarse centroids: explicit ids, else the n_lists corpus
+    # rows with the smallest xxhash64(id) — a seeded uniform sample, stable
+    # across runs
+    if centroid_ids is not None:
+        sel = (df.select(id_col, vec_col)
+               .filter(F.col(id_col).isin(list(centroid_ids)))
+               .orderBy(id_col).limit(n_lists))
+    else:
+        sel = (df.select(id_col, vec_col)
+               .orderBy(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)))
+               .limit(n_lists))
+    centroids = [(r[0], [float(x) for x in r[1]]) for r in sel.collect()]
 
     def _cell_scores(vcol: str) -> list:
         # cosine against each centroid as literal-array expressions
@@ -193,8 +231,12 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
         arr = F.array(*[
             F.struct(s.alias("s"), F.lit(ci).alias("c")) for ci, s in scores
         ])
+        # total order: similarity desc, cell id asc — array_sort's stability
+        # is not contractual, so equal scores need the explicit tiebreak
         return F.slice(F.array_sort(arr, lambda a, b: F.when(a["s"] > b["s"], -1)
-                                    .when(a["s"] < b["s"], 1).otherwise(0)), 1, n)
+                                    .when(a["s"] < b["s"], 1)
+                                    .when(a["c"] < b["c"], -1)
+                                    .when(a["c"] > b["c"], 1).otherwise(0)), 1, n)
 
     corp = df.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("_cv"))
     corp = corp.withColumn("cell", _top_cells("_cv", 1)[0]["c"])
@@ -221,10 +263,24 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
 
 def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
                         vec_col: str = "embedding",
-                        threshold: float = 0.95) -> DataFrame:
+                        threshold: float = 0.95,
+                        max_rows: int | None = 100_000) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
-    Exact over the full pair space — use only on a candidate set or small
-    corpus; the LSH variant is the scale path."""
+    Exact over the full pair space — a VERIFICATION kernel for a candidate
+    set or small corpus; the LSH variant (:func:`lsh_bucketed_topk` /
+    ``dedup.minhash_*``) is the scale path.
+
+    ``max_rows`` guards the O(n²) plan at the API (VERDICT r03 item 6): the
+    corpus is counted up front and the call raises past the cap instead of
+    silently launching a quadratic cross join over a large table. Pass
+    ``max_rows=None`` only when the caller has already bounded the input."""
+    if max_rows is not None:
+        n = df.count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_dups is an exact O(n²) verification kernel; "
+                f"corpus has {n} rows > max_rows={max_rows}. Route candidates "
+                "through lsh_bucketed_topk (or raise max_rows deliberately).")
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"))
     return (

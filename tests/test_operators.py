@@ -457,3 +457,49 @@ def test_normalize_text_nfc(spark):
     df = spark.createDataFrame([("café  x",), ("café x",)], "t string")
     out = df.select(normalize_text("t").alias("n")).collect()
     assert out[0]["n"] == out[1]["n"] == "café x"
+
+
+def test_embedding_near_dups_guards_large_corpus(spark):
+    """VERDICT r03 item 6: the exact O(n²) kernel must refuse a corpus past
+    max_rows instead of silently launching a quadratic cross join."""
+    emb = spark.range(0, 50).select(
+        F.col("id").alias("vec_id"),
+        F.array(F.lit(1.0), F.lit(0.0)).alias("embedding"))
+    with pytest.raises(ValueError, match="max_rows"):
+        similarity.embedding_near_dups(emb, max_rows=10)
+    # under the cap (or explicitly uncapped) it runs
+    assert similarity.embedding_near_dups(emb, threshold=0.5,
+                                          max_rows=None).count() > 0
+
+
+def test_explicit_planes_match_default_semantics(spark):
+    """hyperplane_signature(planes=...) buckets by sign(v·h) exactly like the
+    xxhash64-derived path — same downstream join semantics, portable values."""
+    emb = spark.range(0, 40).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * (i + 1) % 7 - 3).cast("float")
+                  for i in range(4)]).alias("embedding"))
+    planes = [[1.0, 0.0, 0.0, 0.0], [0.5, -0.5, 0.25, -1.0]]
+    sig = similarity.hyperplane_signature(emb, n_planes=2, planes=planes)
+    rows = sig.collect()
+    for r in rows:
+        v = [float(x) for x in r["embedding"]]
+        want = sum(1 << p for p, pl in enumerate(planes)
+                   if sum(a * b for a, b in zip(v, pl)) > 0)
+        assert r["lsh_sig"] == want
+    with pytest.raises(ValueError, match="planes"):
+        similarity.hyperplane_signature(emb, n_planes=3, planes=planes)
+
+
+def test_ivf_explicit_centroids_probe_all_equals_exact(spark):
+    """With centroid_ids pinned and n_probe = n_lists, IVF must reduce to the
+    exact brute-force top-k (every cell probed) — pins the cell-assignment
+    and probing machinery."""
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(sf + "/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    ids = [r[0] for r in emb.select("vec_id").orderBy("vec_id").limit(4).collect()]
+    approx = {tuple(r) for r in similarity.ivf_topk(
+        emb, q, k=3, n_lists=4, n_probe=4, centroid_ids=ids).collect()}
+    exact = {tuple(r) for r in similarity.cosine_topk(emb, q, k=3).collect()}
+    assert approx == exact

@@ -41,12 +41,12 @@ def test_conversation_state_matches_batch(spark, small_log):
             .groupBy("conv_id")
             .agg(
                 F.max("events_seen").alias("events_seen"),
-                F.max("distinct_turns").alias("distinct_turns"),
+                F.max("distinct_turns_approx").alias("distinct_turns_approx"),
                 F.max("max_turn").alias("max_turn"),
                 F.max("last_ts_us").alias("last_ts_us"),
             )
         )
-        got = {r["conv_id"]: (r["events_seen"], r["distinct_turns"],
+        got = {r["conv_id"]: (r["events_seen"], r["distinct_turns_approx"],
                               r["max_turn"], r["last_ts_us"])
                for r in live.collect()}
     finally:
@@ -65,7 +65,7 @@ def test_conversation_state_matches_batch(spark, small_log):
     assert set(got) == set(want)
     for conv, (n, dt, mt, lt) in want.items():
         g_n, g_dt, g_mt, g_lt = got[conv]
-        # exact scalars; distinct_turns is the HLL estimate — the small-range
+        # exact scalars; distinct_turns_approx is the HLL estimate — the small-range
         # linear-counting correction makes it near-exact at these
         # cardinalities (±2 guard band for register collisions)
         assert (g_n, g_mt, g_lt) == (n, mt, lt)
@@ -113,5 +113,5 @@ def test_state_is_bounded_for_many_turn_conversation():
     assert set(sizes) == {stateful._HLL_M}
     assert events == total_turns
     assert max_turn == total_turns - 1
-    est = int(out["distinct_turns"].iloc[0])
+    est = int(out["distinct_turns_approx"].iloc[0])
     assert abs(est - total_turns) / total_turns < 0.05
