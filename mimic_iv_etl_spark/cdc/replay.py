@@ -136,6 +136,7 @@ def replay_log(
     decode_payload: bool = False,
     normalize: bool = False,
     flush_sidecars_every: int | None = 256,
+    validate_manifest: bool = True,
 ) -> dict:
     """Replay the whole log into the table at ``table_path`` (created with
     ``schema`` if absent). ``batch_offsets`` sets the per-partition offset
@@ -229,7 +230,8 @@ def replay_log(
                                 decode_payload=late_decode,
                                 normalize=normalize and late_decode,
                                 source_partitions=pids,
-                                manifest_ranges=window_ranges)
+                                manifest_ranges=window_ranges,
+                                validate_manifest=validate_manifest)
             batch_seq += 1
             total_applied += stats["events_applied"]
             if stats["skipped"]:

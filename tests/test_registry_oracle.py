@@ -53,3 +53,12 @@ def test_rows_only_queries_run(spark, name):
     df = registry.REGISTRY[name].fn(spark, SF)
     assert df.count() >= 0
     assert len(df.schema.fields) > 0
+
+
+def test_registry_holds_exactly_fifty_oracled_entries():
+    """Entry-budget discipline (VERDICT r03 item 1): the driver's correctness
+    gate records the FIRST 50 (query, oracle) pairs in registry order — more
+    entries silently rotate the tail out of the gate, fewer waste coverage.
+    Every entry must carry an oracle (no rows-only waivers)."""
+    assert len(registry.oracle_sql()) == 50
+    assert len(registry.queries()) == 50
