@@ -28,6 +28,10 @@ Offset-range bookkeeping, cheapest first:
   ranges (the WAL contract: offsets are a gapless per-partition sequence), so
   the applied ranges are pure window arithmetic: ZERO runtime aggregation,
   no extra Spark action, and a fully-stale batch skips without any scan.
+  The manifest is verified, not blindly trusted: two Observation counters
+  ride the batch's first job and any row outside the declared ranges — or a
+  count short of what the manifest claims — aborts before commit
+  (``validate_manifest``; measured cost: a few percent).
 - ``source_partitions`` — the universe of partition ids is known but ranges
   are not: per-partition (count, min, max) ride the write job as
   ``Observation`` metrics — one Spark action per batch.

@@ -175,7 +175,8 @@ def pinned_cpu_ratio(lo: int, hi: int, secs: float = 1.5, reps: int = 3) -> floa
     return best[hi] / best[lo]
 
 
-def pinned_mem_bw_ratio(lo: int, hi: int, secs: float = 1.5, reps: int = 3) -> float:
+def pinned_mem_bw(lo: int, hi: int, secs: float = 1.5, reps: int = 3
+                  ) -> dict[int, float]:
     """How much more MEMORY BANDWIDTH the host delivers to ``hi`` pinned
     vCPUs than to ``lo`` (streaming 64MB-buffer copies, best of ``reps``,
     taskset-pinned like the legs). This sandbox is one socket: measured
@@ -208,7 +209,7 @@ def pinned_mem_bw_ratio(lo: int, hi: int, secs: float = 1.5, reps: int = 3) -> f
             )
             vals.append(float(r.stdout.strip()))
         best[n] = max(vals)
-    return best[hi] / best[lo]
+    return {n: v / 1e9 for n, v in best.items()}  # absolute GB/s per level
 
 
 def scan_count_probe_measure(cpus: int) -> dict:
@@ -354,7 +355,8 @@ def orchestrate() -> None:
     med_hi = stats[hi]["median_accepted"] or stats[hi]["median_all"]
     eff_median = (med_hi / med_lo) / (hi / lo) if med_lo and med_hi else None
     cpu_ratio = pinned_cpu_ratio(lo, hi)
-    bw_ratio = pinned_mem_bw_ratio(lo, hi)
+    bw_abs = pinned_mem_bw(lo, hi)
+    bw_ratio = bw_abs[hi] / bw_abs[lo]
     scan = scan_count_probe(lo, hi)
     eff_norm = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / cpu_ratio
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
@@ -413,6 +415,9 @@ def orchestrate() -> None:
             f"  **{bw_ratio:.2f}×** — one socket's memory controller saturates long\n"
             f"  before core count; the replay pipeline is bandwidth-heavy\n"
             f"  (parquet string vectors, JSON parse, tmpfs shuffle).\n"
+            f"  Absolute: {bw_abs[lo]:.1f} GB/s @ {lo} vCPUs, {bw_abs[hi]:.1f} GB/s @ {hi} —\n"
+            f"  compare across rounds to spot slow host epochs the CPU spin\n"
+            f"  probe cannot see.\n"
             f"- **Zero-engine-work control** (pure parquet scan +\n"
             f"  sum(length(payload)) reduction over the SAME log bytes — no\n"
             f"  LWW, no decode, no shuffle, no sink; taskset-pinned like the\n"
@@ -437,6 +442,7 @@ def orchestrate() -> None:
                       "level_stats": stats,
                       "cpu_delivery_ratio": round(cpu_ratio, 3),
                       "mem_bw_delivery_ratio": round(bw_ratio, 3),
+                      "mem_bw_gbps": {n: round(v, 2) for n, v in bw_abs.items()},
                       "scan_probe": scan,
                       "efficiency_cpu_normalized": round(eff_norm, 4),
                       "accepted": accepted, "rejected": rejected,
