@@ -230,6 +230,7 @@ def apply_batch(
     manifest_ranges: dict[int, tuple[int, int]] | None = None,
     validate_manifest: bool = True,
     locator_driver_budget: int = 512 << 20,
+    log_tail: dict[int, int] | None = None,
 ) -> dict:
     """Apply one micro-batch of change events to ``table``. Returns stats.
 
@@ -290,7 +291,23 @@ def apply_batch(
     driver round-trip (winner locators + offset bitmap). The pre-flight
     bound ``events_in_window × 16B + window_bits / 8`` is checked against
     it; a batch over budget (misconfigured huge ``batch_offsets``) degrades
-    to ``dedup_mode='agg'`` instead of OOMing the driver."""
+    to ``dedup_mode='agg'`` instead of OOMing the driver.
+
+    ``log_tail`` — per-source-partition FINAL offset of the log being
+    consumed (replay: from the manifest; a live tail: the broker's
+    end-offsets). With it the per-batch metrics row carries ``lag_events``
+    = Σ max(0, tail_p − applied_hwm_p): the events still unconsumed after
+    this commit — the backlog metric the north star's "throughput/lag
+    metrics" asks for. Pure driver arithmetic, no extra work."""
+
+    def _lag(applied_map) -> int | None:
+        if log_tail is None:
+            return None
+        amap = {int(k): int(v) for k, v in applied_map.items()}
+        return sum(
+            max(0, int(hi) - amap.get(int(p), -1))
+            for p, hi in log_tail.items()
+        )
     t0 = time.monotonic()
     spark = table.spark
 
@@ -322,7 +339,7 @@ def apply_batch(
             "touched_buckets": 0,
             "skipped": True,
             "snapshot_version": table.version,
-            "lag_events": None,
+            "lag_events": _lag(applied),
             "dedup_mode": None,
         }
         append_metrics(table.path, stats)
@@ -604,7 +621,7 @@ def apply_batch(
         "touched_buckets": len(touched),
         "skipped": False,
         "snapshot_version": table.version,
-        "lag_events": None,
+        "lag_events": _lag(new_applied),
         "dedup_mode": dedup_mode,
     }
     with phase("metrics_lineage"):

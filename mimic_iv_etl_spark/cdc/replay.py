@@ -68,6 +68,22 @@ def _manifest_tranches(log_dir: str) -> dict[str, dict] | None:
     return out or None
 
 
+def _log_tail(log_dir: str) -> dict[int, int] | None:
+    """Per-source-partition FINAL offset of the whole log, from the manifest
+    (max of the per-tranche dense ranges). Powers the per-batch
+    ``lag_events`` metric — Σ max(0, tail − applied hwm) — at zero runtime
+    cost. None when the manifest is absent or pre-offset-bounds."""
+    meta = _manifest_tranches(log_dir)
+    if meta is None:
+        return None
+    tail: dict[int, int] = {}
+    for t in meta.values():
+        for p, r in t.get("partition_offsets", {}).items():
+            p = int(p)
+            tail[p] = max(tail.get(p, -1), int(r[1]))
+    return tail or None
+
+
 def _tranche_schema(tranche_dir: str):
     """Spark schema of a tranche from ONE parquet footer read driver-side with
     pyarrow — replaces Spark's schema-inference job (a full JVM job scheduling
@@ -168,6 +184,7 @@ def replay_log(
     t0 = time.monotonic()
 
     meta = _manifest_tranches(log_dir)
+    log_tail = _log_tail(log_dir)
     for tranche in _tranche_dirs(log_dir):
         with phase("tranche_metadata"):
             t_meta = meta.get(tranche) if meta is not None else None
@@ -231,7 +248,8 @@ def replay_log(
                                 normalize=normalize and late_decode,
                                 source_partitions=pids,
                                 manifest_ranges=window_ranges,
-                                validate_manifest=validate_manifest)
+                                validate_manifest=validate_manifest,
+                                log_tail=log_tail)
             batch_seq += 1
             total_applied += stats["events_applied"]
             if stats["skipped"]:

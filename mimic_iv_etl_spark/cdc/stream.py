@@ -132,10 +132,11 @@ def stream_tranche(
 
     ``on_batch(epoch_id, stats)`` is a test hook (e.g. to crash mid-stream).
     """
-    from mimic_iv_etl_spark.cdc.replay import _partition_ids
+    from mimic_iv_etl_spark.cdc.replay import _log_tail, _partition_ids
 
     pids = _partition_ids(tranche_dir)
     file_offsets = _tranche_file_offsets(tranche_dir)
+    log_tail = _log_tail(os.path.dirname(tranche_dir.rstrip("/")))
     sample = sorted(glob.glob(os.path.join(tranche_dir, "*.parquet")))
     if not sample:
         raise FileNotFoundError(tranche_dir)
@@ -166,7 +167,8 @@ def stream_tranche(
                             decode_payload=late_decode,
                             normalize=normalize,
                             source_partitions=pids,
-                            manifest_ranges=ranges)
+                            manifest_ranges=ranges,
+                            log_tail=log_tail)
         if on_batch is not None:
             on_batch(epoch_id, stats)
 

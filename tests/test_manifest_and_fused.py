@@ -400,3 +400,26 @@ def test_upgrade_manifest_backfills_file_offsets(spark, tmp_path):
     mtime = os.path.getmtime(mpath)
     upgrade_manifest(d)
     assert os.path.getmtime(mpath) == mtime
+
+
+def test_lag_metric_drains_to_zero(spark, small_log, tmp_path):
+    """The per-batch metrics row carries lag_events = Σ max(0, log tail −
+    applied hwm): strictly decreasing across a replay and exactly 0 after
+    the final commit (north star: throughput/lag metrics)."""
+    d, spec, _ = small_log
+    tp = str(tmp_path / "t_lag")
+    replay_log(spark, d, tp, schema=TRANSCRIPT_SCHEMA, batch_offsets=700,
+               n_buckets=4)
+    rows = (read_metrics(spark, tp)
+            .orderBy("batch_id").select("lag_events").collect())
+    lags = [r["lag_events"] for r in rows]
+    assert all(v is not None for v in lags)
+    assert lags == sorted(lags, reverse=True)
+    assert lags[0] > 0 and lags[-1] == 0
+    # each batch's lag drop equals exactly the events it applied
+    applied = [r["events_applied"] for r in
+               read_metrics(spark, tp).orderBy("batch_id")
+               .select("events_applied").collect()]
+    assert lags[0] == spec.n_events - applied[0]
+    for prev, cur, n in zip(lags, lags[1:], applied[1:]):
+        assert prev - cur == n
