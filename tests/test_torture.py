@@ -124,3 +124,52 @@ def test_lww_reduce_matches_fold_property(spark, events):
         stamp[key] = s
         want[key] = (txt, deleted)
     assert got == want
+
+
+@pytest.mark.parametrize("tamper", ["extend_hi", "shrink_hi", "drop_partition",
+                                    "negative_lo", "honest"])
+def test_manifest_tamper_never_commits_wrong_state(spark, small_log, tmp_path,
+                                                   tamper):
+    """Safety property for the public apply_batch API (ADVICE r03 medium):
+    for ANY tampered manifest_ranges the batch must either abort BEFORE
+    commit (leaving the table untouched) or — when the manifest is honest —
+    commit exactly the oracle state. A silently-wrong committed state is
+    never acceptable: applied_offsets desync is undetectable data loss."""
+    from mimic_iv_etl_spark.cdc.replay import _manifest_tranches
+
+    d, spec, _ = small_log
+    tranche = sorted(glob.glob(f"{d}/tranche-*"))[0]
+    t_meta = _manifest_tranches(d)[tranche]
+    ranges = {int(p): (int(r[0]), int(r[1]))
+              for p, r in t_meta["partition_offsets"].items()}
+    if tamper == "extend_hi":
+        p = min(ranges)
+        ranges[p] = (ranges[p][0], ranges[p][1] + 123)
+    elif tamper == "shrink_hi":
+        p = min(ranges)
+        ranges[p] = (ranges[p][0], ranges[p][1] - 123)
+    elif tamper == "drop_partition":
+        del ranges[max(ranges)]
+    elif tamper == "negative_lo":
+        p = min(ranges)
+        ranges[p] = (-5, ranges[p][1])
+
+    df = spark.read.parquet(tranche).drop("payload")
+    tp = str(tmp_path / f"t_tamper_{tamper}")
+    tbl = LakeTable.create(spark, tp, TRANSCRIPT_SCHEMA, n_buckets=4)
+    if tamper in ("honest", "negative_lo"):
+        # negative_lo is auto-repaired: the hwm clip lo = max(lo, hwm+1)
+        # raises the claimed -5 back to 0 on a fresh table, so the batch
+        # commits the exact oracle state — the acceptable outcome
+        stats = apply_batch(tbl, df, batch_id=0, dedup_mode="locator",
+                            manifest_ranges=ranges)
+        assert stats["events_applied"] == spec.n_events
+        assert_final_state_equal(LakeTable(spark, tp).read(),
+                                 duckdb_final_state(d))
+    else:
+        with pytest.raises(RuntimeError, match="cross-check"):
+            apply_batch(tbl, df, batch_id=0, dedup_mode="locator",
+                        manifest_ranges=ranges)
+        tbl2 = LakeTable(spark, tp)
+        assert tbl2.applied_offsets == {}
+        assert tbl2.read().count() == 0
