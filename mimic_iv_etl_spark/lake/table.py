@@ -211,10 +211,16 @@ class LakeTable:
         c = col or self.snapshot["bucket_by"]
         return F.pmod(F.xxhash64(F.col(c)), F.lit(self.n_buckets)).cast("int")
 
-    def read(self, buckets: set[int] | None = None, internal: bool = False) -> DataFrame:
+    def read(self, buckets: set[int] | None = None, internal: bool = False,
+             pre_filter: F.Column | None = None) -> DataFrame:
         """Scan the table. ``buckets`` prunes the file list before Spark sees it
         (metadata-level partition pruning); ``internal=True`` keeps tombstones
         and LWW stamp columns (the merge path needs them).
+
+        ``pre_filter`` is applied BELOW the merge-on-read LWW reduce, so it
+        reaches the parquet scans as a pushed-down predicate. Only key-local
+        predicates are sound there (a key's winner depends solely on that
+        key's rows) — :meth:`read_keys` is the public user of this hook.
 
         Merge-on-read: when the selected files include delta files, rows are
         LWW-reduced per key (skew-proof ``max_by`` partial agg); a selection of
@@ -241,11 +247,37 @@ class LakeTable:
                 out = out.unionByName(p)
         else:
             out = self.spark.createDataFrame([], target)
+        if pre_filter is not None:
+            out = out.filter(pre_filter)
         if has_delta:
             out = lww_reduce(out, self.key_cols)
         if internal:
             return out
         return out.filter(~F.col("_deleted")).drop(*INTERNAL_COLS)
+
+    def read_keys(self, keys, internal: bool = False) -> DataFrame:
+        """Point-lookup read: the current rows of the given bucket-key values
+        (e.g. specific ``conv_id`` s), touching only those keys' buckets.
+
+        At 100 TB this is the "fetch these conversations" path: bucket ids
+        are computed with the SAME JVM hash expression as the write path
+        (one no-IO local job over the key list — never a table scan), the
+        snapshot's file list is pruned to those buckets at metadata level,
+        and the key IN-predicate is pushed BELOW the merge-on-read LWW
+        reduce into every parquet scan (sound because a key's winner depends
+        only on that key's rows) — so the scan cost is O(selected buckets)
+        files with row-group skipping, not O(table)."""
+        keys = list(keys)
+        if not keys:
+            return self.read(buckets=set(), internal=internal)
+        col = self.snapshot["bucket_by"]
+        ktype = {f.name: f.dataType for f in self.schema.fields}[col]
+        kdf = self.spark.createDataFrame(
+            [(k,) for k in keys], T.StructType([T.StructField(col, ktype)]))
+        bids = {int(r["b"]) for r in
+                kdf.select(self.bucket_expr(col).alias("b")).distinct().collect()}
+        return self.read(buckets=bids, internal=internal,
+                         pre_filter=F.col(col).isin(keys))
 
     def changes(self, from_version: int,
                 to_version: int | None = None) -> DataFrame:

@@ -210,3 +210,34 @@ def test_time_travel_history(spark, tmp_path):
     h = tbl.history()
     assert [s["version"] for s in h] == [2, 1, 0]
     assert h[0]["summary"]["batch_id"] == 11
+
+
+def test_read_keys_point_lookup_prunes_and_pushes_down(spark, small_log, tmp_path):
+    """read_keys must (1) return exactly read().filter(isin) — including under
+    merge-on-read deltas, (2) scan only the selected keys' buckets' files,
+    and (3) push the key IN-predicate into the parquet scans below the LWW
+    reduce."""
+    from mimic_iv_etl_spark.cdc.replay import replay_log
+    from tests.util import TRANSCRIPT_SCHEMA
+
+    d, spec, _ = small_log
+    tp = str(tmp_path / "t_ptlkp")
+    replay_log(spark, d, tp, schema=TRANSCRIPT_SCHEMA, batch_offsets=2000,
+               n_buckets=8)
+    tbl = LakeTable(spark, tp)
+    keys = [r["conv_id"] for r in
+            tbl.read().select("conv_id").distinct().limit(3).collect()]
+
+    got = tbl.read_keys(keys)
+    want = tbl.read().filter(F.col("conv_id").isin(keys))
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+    # bucket pruning: strictly fewer files than the full table holds
+    assert 0 < len(got.inputFiles()) < len(tbl.read().inputFiles())
+
+    # predicate pushed into the scan (below the merge-on-read reduce)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(conv_id" in plan, plan
+
+    # empty key list → empty result, no files
+    assert tbl.read_keys([]).count() == 0
