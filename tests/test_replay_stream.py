@@ -174,3 +174,20 @@ def test_batch_ranges_density_cross_check():
     assert _batch_ranges(set(), fo) is None
     assert _batch_ranges(None, fo) is None
     assert _batch_ranges({"a.parquet"}, None) is None
+
+
+def test_stream_evolved_log_locator_all_the_way(spark, evolved_log, tmp_path):
+    """Schema evolution through the STREAMING path: the evolved tranche's
+    added columns land exactly at its first micro-batch, every micro-batch
+    of both tranches still runs the locator kernel (per-file ranges exist on
+    both sides of the evolution point), and the final state is oracle-exact."""
+    modes: list[str] = []
+    d, spec, _ = evolved_log
+    tp = str(tmp_path / "t_ev_stream")
+    table = stream_log(
+        spark, d, tp, str(tmp_path / "ckpt_ev"), schema=TRANSCRIPT_SCHEMA,
+        n_buckets=8, on_batch=lambda e, s: modes.append(s["dedup_mode"]))
+    assert [f.name for f in table.schema.fields][-2:] == ["tool_version",
+                                                          "latency_ms"]
+    assert modes and all(m == "locator" for m in modes), modes
+    assert_final_state_equal(table.read(), duckdb_final_state(d))
