@@ -9,8 +9,9 @@ line:
 
 Headline = the engine's reason to exist: full CDC change-log replay
 (LWW dedup → exactly-once delta commits) with events/sec; plus per-query
-wall times for the analytic operator suite (best of 2 runs, computed through
-the noop sink so driver transfer isn't measured).
+wall times for the analytic operator suite (median of 5 runs, with mins in
+``queries_min``; computed through the noop sink so driver transfer isn't
+measured).
 
 Scaling evidence (north rule, N vs 4N) lives in scripts/bench_scaling.py →
 BENCH/BASELINE.md; this file stays single-config for the driver.
@@ -155,16 +156,24 @@ def main() -> None:
     shutil.rmtree(s_table, ignore_errors=True)
     shutil.rmtree(s_ckpt, ignore_errors=True)
 
-    # ---- analytic queries: best of 2, noop sink
+    # ---- analytic queries: MEDIAN of 5 (VERDICT r04 item 4 — best-of-2
+    # produced phantom ±30% swings on this host: the r3→r4 cosine_topk
+    # "regression" was pure sampling noise), noop sink so driver transfer
+    # isn't measured; per-query min published alongside so floors stay
+    # comparable round-over-round
+    import statistics
+
     qtimes: dict[str, float] = {}
+    qmins: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry.REGISTRY[name].fn
-        best = float("inf")
-        for _ in range(2):
+        reps = []
+        for _ in range(5):
             t0 = time.monotonic()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            best = min(best, time.monotonic() - t0)
-        qtimes[name] = round(best, 4)
+            reps.append(time.monotonic() - t0)
+        qtimes[name] = round(statistics.median(reps), 4)
+        qmins[name] = round(min(reps), 4)
 
     print(
         json.dumps(
@@ -178,6 +187,7 @@ def main() -> None:
                 "stream_replay_seconds": round(stream["seconds"], 4),
                 "stream_events_per_sec": round(stream["events_per_sec"], 1),
                 "queries": qtimes,
+                "queries_min": qmins,
                 "sf": _sf_label(SF_DIR),
                 "cpus": CPUS,
             }

@@ -64,17 +64,15 @@ META_COLS = ("op", "offset", "partition", "payload")
 # a win over a broadcast-join filter (expression size, codegen limits)
 _HWM_PREDICATE_CAP = 64
 
-# the locator bitmap probe builds one chained when() clause per source
-# partition (valid/shift expressions) — same codegen-blowup hazard as the
-# hwm predicate, same cap; beyond it the agg kernel is the answer
-_LOCATOR_PARTITION_CAP = 64
-
 
 def _locator_supported(ranges: list[dict]) -> bool:
     """Whether the packed-stamp locator kernel's bit budget covers this
-    batch's offset/partition coordinates (offset < 2^36, partition < 2^16)
-    and the partition fan-out stays within the chained-predicate cap."""
-    return bool(ranges) and len(ranges) <= _LOCATOR_PARTITION_CAP and all(
+    batch's offset/partition coordinates (offset < 2^36, partition < 2^16).
+    No partition-count cap: the bitmap probe indexes per-partition
+    ``(lo, hi, base)`` lookup ARRAYS broadcast with the bitmap (``F.get``,
+    pure codegen), not a chained ``when()`` per partition — a Kafka-style
+    log with hundreds of source partitions stays on the fast path."""
+    return bool(ranges) and all(
         0 <= r["partition"] < PACK_MAX_PARTITION
         and 0 <= r["min_offset"]
         and r["max_offset"] < PACK_MAX_OFFSET
@@ -97,16 +95,28 @@ def _locator_winners(candidates: DataFrame, key_cols: list[str],
        round-trip in the apply path).
     3. Because the WAL contract makes per-partition offsets DENSE, the
        locator set becomes an EXACT bitmap (1 bit per in-window offset — no
-       hashing, no false positives). The bitmap ships as a 1-row
-       ``array<bigint>`` parquet under the table's ``_staging`` dir (shared
-       storage, so cluster executors can read it), broadcast onto the wide
-       scan, and probed with ``element_at`` + ``getbit`` — a PURE-JVM
-       codegen'd filter. The first cut probed via a pandas UDF instead;
-       that queued every wide row behind the Python round-trip
-       (ArrowEvalPython row queue) and stage metrics showed 58% of executor
-       time in GC — the JVM probe removes Python from the wide path
-       entirely, so only winner rows ever reach the decode/normalize UDFs.
+       hashing, no false positives). The bitmap — plus per-partition
+       ``(lo, hi, base)`` lookup arrays indexed by partition id — ships as a
+       1-row ``array<bigint>`` parquet under the table's ``_staging`` dir
+       (shared storage, so cluster executors can read it), broadcast onto
+       the wide scan, and probed with ``F.get`` + ``element_at`` +
+       ``getbit`` — a PURE-JVM codegen'd filter whose expression size is
+       CONSTANT in the partition count (the first cut chained one ``when()``
+       per partition, which hit codegen limits past 64 partitions and forced
+       a fallback to the SortAggregate kernel — the array lookup removes
+       that cap, so Kafka-style logs with hundreds of partitions stay on
+       the fast path). An earlier cut probed via a pandas UDF; that queued
+       every wide row behind the Python round-trip (ArrowEvalPython row
+       queue) and stage metrics showed 58% of executor time in GC — the JVM
+       probe removes Python from the wide path entirely, so only winner
+       rows ever reach the decode/normalize UDFs.
     4. The filter passes exactly one row per key, so no further reduce runs.
+
+    Driver memory peak ≈ winner locators (16 B/winner Arrow transfer) +
+    the PACKED bitmap (window_bits/8 — built packed via ``bitwise_or.at``,
+    never unpacked to byte-per-bit) + 3 lookup arrays (≤ 8 B × 2^16 each)
+    — the quantity ``apply_batch`` pre-checks against
+    ``locator_driver_budget``.
     """
     import shutil
     import uuid
@@ -125,10 +135,10 @@ def _locator_winners(candidates: DataFrame, key_cols: list[str],
                 "locator kernel: winner rows with NULL (partition, offset) — "
                 "the change log violates the WAL stamp contract")
         by_p = {}
-        base = 0
+        total_bits = 0
         for r in sorted(ranges, key=lambda r: r["partition"]):
-            by_p[r["partition"]] = (r["min_offset"], r["max_offset"], base)
-            base += r["max_offset"] - r["min_offset"] + 1
+            by_p[r["partition"]] = (r["min_offset"], r["max_offset"], total_bits)
+            total_bits += r["max_offset"] - r["min_offset"] + 1
         max_p = max(by_p)
         lo_arr = np.zeros(max_p + 1, dtype=np.int64)
         hi_arr = np.full(max_p + 1, -1, dtype=np.int64)
@@ -148,40 +158,55 @@ def _locator_winners(candidates: DataFrame, key_cols: list[str],
                 "winners land outside the declared per-partition offset "
                 "ranges; committing would desync applied_offsets from the "
                 "actually-applied events")
-        bits = np.zeros(base, dtype=np.uint8)
-        bits[base_arr[pi] + (oi - lo_arr[pi])] = 1
-        packed = np.packbits(bits, bitorder="little")
-        if packed.size % 8:  # pad to whole 64-bit words
-            packed = np.concatenate(
-                [packed, np.zeros(8 - packed.size % 8, dtype=np.uint8)])
-        words = packed.view(np.int64)
+        # build the bitmap PACKED (uint64 words) — peak memory window_bits/8,
+        # matching the pre-flight budget; a byte-per-bit intermediate would
+        # transiently cost 8× the budgeted size. Winner (p, o) pairs are
+        # distinct rows, so indices are unique; bitwise_or.at handles the
+        # many-bits-per-word collisions an unbuffered |= cannot.
+        gidx = base_arr[pi] + (oi - lo_arr[pi])
+        words_arr = np.zeros((total_bits + 63) // 64, dtype=np.uint64)
+        np.bitwise_or.at(words_arr, gidx >> 6,
+                         np.uint64(1) << (gidx & 63).astype(np.uint64))
+        words = words_arr.view(np.int64)
 
         stage_dir = os.path.join(table_path, "_staging",
                                  f"lww-bitmap-{uuid.uuid4().hex}")
         os.makedirs(stage_dir, exist_ok=True)
-        bm_path = os.path.join(stage_dir, "bitmap.parquet")
-        pq.write_table(
-            pa.table({"_bm": pa.array([words], type=pa.list_(pa.int64()))}),
-            bm_path)
+        try:
+            bm_path = os.path.join(stage_dir, "bitmap.parquet")
+            pq.write_table(
+                pa.table({
+                    "_bm": pa.array([words], type=pa.list_(pa.int64())),
+                    "_lo": pa.array([lo_arr], type=pa.list_(pa.int64())),
+                    "_hi": pa.array([hi_arr], type=pa.list_(pa.int64())),
+                    "_base": pa.array([base_arr], type=pa.list_(pa.int64())),
+                }),
+                bm_path)
+        except BaseException:
+            shutil.rmtree(stage_dir, ignore_errors=True)
+            raise
 
     spark = candidates.sparkSession
     bm = spark.read.parquet(bm_path)
     p = F.col("_lww_partition")
     o = F.col("_lww_offset")
-    valid = None
-    shift = None
-    for pid, (lo, hi, b) in sorted(by_p.items()):
-        cond = p == int(pid)
-        ok = cond & (o >= int(lo)) & (o <= int(hi))
-        valid = ok if valid is None else (valid | ok)
-        shift = (F.when(cond, int(b - lo)) if shift is None
-                 else shift.when(cond, int(b - lo)))
-    gidx = o + shift.otherwise(0)
-    word = F.element_at(F.col("_bm"), F.shiftright(gidx, 6).cast("int") + 1)
+    # partition-count-independent probe: F.get is 0-based and yields NULL for
+    # out-of-range/NULL indices, so unknown partitions fail `valid` without
+    # any ANSI error; hi defaults to -1, so in-array but undeclared
+    # partitions fail the o<=hi bound. try_element_at (not element_at) so a
+    # corrupt batch's out-of-window gidx yields NULL→false instead of an
+    # ANSI index error if the optimizer ever evaluates the bit probe before
+    # the `valid` conjunct.
+    lo = F.get(F.col("_lo"), p)
+    hi = F.get(F.col("_hi"), p)
+    base = F.get(F.col("_base"), p)
+    valid = lo.isNotNull() & (o >= lo) & (o <= hi)
+    gidx = o + (base - lo)
+    word = F.try_element_at(F.col("_bm"), F.shiftright(gidx, 6).cast("int") + 1)
     probe = valid & (F.getbit(word, F.pmod(gidx, 64)) == 1)
     winners = (candidates.crossJoin(F.broadcast(bm))
                .filter(probe)
-               .drop("_bm"))
+               .drop("_bm", "_lo", "_hi", "_base"))
     return winners, lambda: shutil.rmtree(stage_dir, ignore_errors=True)
 
 
@@ -391,6 +416,7 @@ def apply_batch(
 
         from pyspark.sql import Observation
 
+        drop_rng = ()
         if len(ranges) <= _HWM_PREDICATE_CAP:
             known = None
             for r in ranges:
@@ -399,10 +425,22 @@ def apply_batch(
                       & (F.col("offset") <= int(r["max_offset"])))
                 known = ok if known is None else (known | ok)
         else:
-            # membership-only beyond the chained-predicate cap; the n_total
-            # cross-check still catches out-of-range offsets
-            known = F.col("partition").isin(
-                [int(r["partition"]) for r in ranges])
+            # beyond the chained-predicate cap the range check rides a
+            # broadcast-joined (partition → lo, hi) lookup instead of
+            # degrading to membership-only — a corrupt batch whose
+            # out-of-range offsets in declared partitions numerically cancel
+            # missing in-range rows would pass a membership+count check but
+            # is caught here (ADVICE r04); same shape as _hwm_filter's
+            # fallback, one broadcast-hash-join stage on the batch's first job
+            rng = spark.createDataFrame(
+                [(int(r["partition"]), int(r["min_offset"]),
+                  int(r["max_offset"])) for r in ranges],
+                "partition int, _rlo long, _rhi long")
+            fresh = fresh.join(F.broadcast(rng), "partition", "left")
+            known = (F.col("_rlo").isNotNull()
+                     & (F.col("offset") >= F.col("_rlo"))
+                     & (F.col("offset") <= F.col("_rhi")))
+            drop_rng = ("_rlo", "_rhi")
         obs_val = Observation(f"validate_manifest_{uuid.uuid4().hex[:8]}")
         fresh = fresh.observe(
             obs_val,
@@ -410,6 +448,8 @@ def apply_batch(
             F.count(F.when(F.col("partition").isNull() | ~known, True))
             .alias("n_unknown"),
         )
+        if drop_rng:
+            fresh = fresh.drop(*drop_rng)
 
     if (manifest_ranges is None and source_partitions is not None
             and observation_scrub_available()):
@@ -493,46 +533,49 @@ def apply_batch(
         if not usable:
             dedup_mode = "agg"
 
+    # One try/finally covers everything from winner construction through
+    # commit: the locator staging dir and the Observation session-poisoning
+    # scrub (Spark 4.1.x ObservationManager serialization bug — see
+    # session.scrub_observation_manager) must be cleaned up on EVERY exit —
+    # including a locator abort (manifest cross-check, NULL-stamp guard) or
+    # any Spark error — or later jobs capturing the session fail with
+    # NotSerializableException and _staging/lww-bitmap-* dirs leak (ADVICE
+    # r04). Batches are sequential on a session, so no other observation is
+    # in flight when the scrub runs.
     pre_partitioned = dedup_mode == "bucket"
-    if pre_partitioned:
-        # bucket computed BEFORE the (single) shuffle so the LWW agg and the
-        # partitioned write share one exchange
-        candidates = candidates.withColumn(BUCKET_COL, table.bucket_expr())
-        winners = lww_bucket_fused(
-            candidates, table.key_cols, bucket_col=BUCKET_COL,
-            num_buckets=table.n_buckets, salt=write_salt,
-        )
     locator_cleanup = None
-    if dedup_mode == "locator":
-        winners, locator_cleanup = _locator_winners(
-            candidates, table.key_cols, ranges, table.path)
-    elif not pre_partitioned:
-        winners = lww_reduce(candidates, table.key_cols, mode=dedup_mode)
-    if late_decode:
-        from mimic_iv_etl_spark.functions.textfns import decode_payload_json
+    try:
+        if pre_partitioned:
+            # bucket computed BEFORE the (single) shuffle so the LWW agg and
+            # the partitioned write share one exchange
+            candidates = candidates.withColumn(BUCKET_COL, table.bucket_expr())
+            winners = lww_bucket_fused(
+                candidates, table.key_cols, bucket_col=BUCKET_COL,
+                num_buckets=table.n_buckets, salt=write_salt,
+            )
+        elif dedup_mode == "locator":
+            winners, locator_cleanup = _locator_winners(
+                candidates, table.key_cols, ranges, table.path)
+        else:
+            winners = lww_reduce(candidates, table.key_cols, mode=dedup_mode)
+        if late_decode:
+            from mimic_iv_etl_spark.functions.textfns import decode_payload_json
 
-        winners = (
-            decode_payload_json(winners)
-            .withColumnRenamed("role_decoded", "role")
-            .withColumnRenamed("text_decoded", "text")
-            .withColumnRenamed("tool_decoded", "tool")
-            .drop("payload")
-        )
-    if normalize and "text" in winners.columns:
-        from mimic_iv_etl_spark.functions.textfns import normalize_text
+            winners = (
+                decode_payload_json(winners)
+                .withColumnRenamed("role_decoded", "role")
+                .withColumnRenamed("text_decoded", "text")
+                .withColumnRenamed("tool_decoded", "tool")
+                .drop("payload")
+            )
+        if normalize and "text" in winners.columns:
+            from mimic_iv_etl_spark.functions.textfns import normalize_text
 
-        winners = winners.withColumn("text", normalize_text(F.col("text")))
-    if not pre_partitioned:
-        winners = winners.withColumn(BUCKET_COL, table.bucket_expr())
+            winners = winners.withColumn("text", normalize_text(F.col("text")))
+        if not pre_partitioned:
+            winners = winners.withColumn(BUCKET_COL, table.bucket_expr())
 
-    if obs is not None:
-        # finally-scrub: Observation use leaves the session unable to run any
-        # job whose closure captures it (Spark 4.1.x ObservationManager
-        # serialization bug) — see session.scrub_observation_manager. Batches
-        # are sequential on a session, so no other observation is in flight.
-        from mimic_iv_etl_spark.session import scrub_observation_manager
-
-        try:
+        if obs is not None:
             with phase("append_delta"):
                 entries, schema_id, schemas = table.stage_delta(
                     winners, new_schema=merged if evolved else None,
@@ -563,12 +606,7 @@ def apply_batch(
                 table.commit_delta(
                     entries, schema_id, schemas,
                     summary={"applied_offsets": new_applied, "batch_id": batch_id})
-        finally:
-            scrub_observation_manager(spark)
-    elif obs_val is not None:
-        from mimic_iv_etl_spark.session import scrub_observation_manager
-
-        try:
+        elif obs_val is not None:
             with phase("append_delta"):
                 entries, schema_id, schemas = table.stage_delta(
                     winners, new_schema=merged if evolved else None,
@@ -586,12 +624,7 @@ def apply_batch(
                     entries, schema_id, schemas,
                     summary={"applied_offsets": new_applied,
                              "batch_id": batch_id})
-        finally:
-            if locator_cleanup is not None:
-                locator_cleanup()
-            scrub_observation_manager(spark)
-    else:
-        try:
+        else:
             with phase("append_delta"):
                 table.append_delta(
                     winners,
@@ -600,9 +633,13 @@ def apply_batch(
                     write_salt=write_salt,
                     pre_partitioned=pre_partitioned,
                 )
-        finally:
-            if locator_cleanup is not None:
-                locator_cleanup()
+    finally:
+        if locator_cleanup is not None:
+            locator_cleanup()
+        if obs is not None or obs_val is not None:
+            from mimic_iv_etl_spark.session import scrub_observation_manager
+
+            scrub_observation_manager(spark)
     if cached is not None:
         cached.unpersist()
 

@@ -193,10 +193,8 @@ class MLUtils:
         train = self._assembled(self.train)
         kwargs = dict(featuresCol="features", labelCol=self.target, **(params or {}))
         if class_weight:
-            counts = dict(
-                train.groupBy(self.target).count()
-                .rdd.map(lambda r: (r[0], r[1])).collect()
-            )
+            counts = {r[0]: r[1] for r in
+                      train.groupBy(self.target).count().collect()}
             total, k = sum(counts.values()), len(counts)
             weights = {c: total / (k * n) for c, n in counts.items()}
             if verbose:

@@ -99,6 +99,14 @@ class LakeTable:
         """Create an empty table (snapshot v0). ``bucket_by`` defaults to the
         first key column — the north rule's hash-partition-on-conv_id."""
         path = os.path.abspath(path)
+        if bucket_by is not None and bucket_by not in key_cols:
+            # read_keys pushes its key IN-predicate below the merge-on-read
+            # LWW reduce, which is only sound when the bucket column's value
+            # is fixed per key — i.e. bucket_by is one of the key columns. A
+            # mutable non-key bucket column would scatter one key's versions
+            # across buckets and make point reads return stale winners.
+            raise ValueError(
+                f"bucket_by={bucket_by!r} must be one of key_cols={key_cols}")
         if cls.exists(path):
             raise FileExistsError(f"table already exists at {path}")
         os.makedirs(os.path.join(path, "metadata"), exist_ok=True)
@@ -271,6 +279,12 @@ class LakeTable:
         if not keys:
             return self.read(buckets=set(), internal=internal)
         col = self.snapshot["bucket_by"]
+        if col not in self.key_cols:
+            # guards tables whose metadata predates create()'s validation:
+            # the below-reduce pushdown is unsound for a non-key bucket column
+            raise ValueError(
+                f"read_keys requires bucket_by ({col!r}) to be a key column "
+                f"({self.key_cols}); use read().filter() instead")
         ktype = {f.name: f.dataType for f in self.schema.fields}[col]
         kdf = self.spark.createDataFrame(
             [(k,) for k in keys], T.StructType([T.StructField(col, ktype)]))

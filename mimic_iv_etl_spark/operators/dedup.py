@@ -338,7 +338,17 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     Pigeonhole: two docs within Hamming distance d share at least one
     identical band when d < #bands — with the default 8 bands recall is exact
     for d ≤ 7; verify exact Hamming ≤ max_distance within blocks. Blocks over
-    ``max_bucket`` rows are skipped (see :func:`_cap_bucket_size`)."""
+    ``max_bucket`` rows are skipped (see :func:`_cap_bucket_size`).
+
+    Cap-vs-recall bound: the pigeonhole guarantee holds only while every
+    band bucket is ≤ ``max_bucket`` — a pair is lost iff EVERY band it
+    shares sits in an over-cap bucket. Uniform simhashes put ~n/2^band_bits
+    docs in a bucket, so exact recall is assured for corpora up to roughly
+    ``2^band_bits × max_bucket`` docs (band_bits=8 → ~256k; band_bits=6 →
+    ~64k; less under boilerplate skew — but heavily-repeated text lands in
+    over-cap buckets that are byte-near-identical, which is
+    :func:`exact_dedup`'s job, pinned by the cap-vs-recall test). Past the
+    bound, shard the corpus or raise ``max_bucket``."""
     n_bands = 64 // band_bits
     s = _simhash_by_id(df, id_col=id_col, text_col=text_col)
     bands = s.select(
@@ -355,11 +365,17 @@ def simhash_near_dups(df: DataFrame, id_col: str = "doc_id",
     )
     bands = _cap_bucket_size(bands, ["band", "band_val"], max_bucket)
     a, b = bands.alias("a"), bands.alias("b")
+    # Hamming filter BEFORE the distinct: unlike minhash's 64-bit band
+    # hashes, low-bit band values collide for plenty of far-apart docs, so
+    # the band join emits ~n²/2^band_bits pairs per band — the popcount
+    # filter is codegen'd and kills the non-dups in the join stage, leaving
+    # the distinct's shuffle to carry only actual near-dup pairs (measured
+    # at sf0.1 10×6: the swap removes a multi-million-row distinct exchange)
     return (
         a.join(b, ["band", "band_val"])
         .filter(F.col("a._id") < F.col("b._id"))
         .select(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"),
                 hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"))
-        .distinct()
         .filter(F.col("hamming") <= max_distance)
+        .distinct()
     )

@@ -403,11 +403,18 @@ def q_simhash_near_dups(spark, sf):
     pigeonhole recall is EXACT for Hamming ≤ 9 — candidates then
     exact-verified by 2-gram Jaccard ≥ 0.5. Measured: every ≥0.5-Jaccard
     pair sits within Hamming 9 at sf0.001 AND sf0.01 (max 9 / 5), so the
-    result equals the all-pairs exact SQL oracle at both, at the same cost
-    as the classic 8×8 blocking (64-value buckets stay small). A
-    band_bits=4 variant was rejected: 16 bucket values per band collapse a
-    5k-doc corpus into ~300-row buckets — an O(n²/16) candidate blowup at
-    bench scale (9.7s vs 2.7s)."""
+    result equals the all-pairs exact SQL oracle at both. A band_bits=4
+    variant was rejected: 16 bucket values per band collapse a 5k-doc
+    corpus into ~300-row buckets — an O(n²/16) candidate blowup at bench
+    scale (9.7s vs 2.7s).
+
+    Cap-vs-recall bound (VERDICT r04 item 2): with 6-bit bands the
+    ``max_bucket=1000`` cap stays provably inert up to ~64k uniform docs
+    (n/64 per bucket; see ``simhash_near_dups`` docstring) — the gate
+    corpus is 500 docs and the bench corpus 5,000, bucket sizes ~8/~78,
+    pinned by ``test_operators.py::test_simhash_gate_banding_cap_inert``.
+    This 10×6 config is the ORACLE-exactness config for the gate corpora;
+    the scale default stays the API's 8×8 (d ≤ 7, ~256k-doc bound)."""
     docs = _t(spark, sf, "documents")
     cands = dedup.simhash_near_dups(docs, max_distance=9, band_bits=6) \
         .select("id_a", "id_b")

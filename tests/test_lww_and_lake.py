@@ -241,3 +241,34 @@ def test_read_keys_point_lookup_prunes_and_pushes_down(spark, small_log, tmp_pat
 
     # empty key list → empty result, no files
     assert tbl.read_keys([]).count() == 0
+
+
+def test_bucket_by_must_be_a_key_column(spark, tmp_path):
+    """ADVICE r04: the read_keys key-pushdown below the merge-on-read LWW
+    reduce is only sound when bucket_by is one of key_cols (value fixed per
+    key) — create() must reject anything else, and read_keys must refuse on
+    a pre-validation table whose metadata slipped through."""
+    import json
+    import os
+
+    import pytest
+
+    with pytest.raises(ValueError, match="bucket_by"):
+        LakeTable.create(spark, str(tmp_path / "t_badbucket"),
+                         TRANSCRIPT_SCHEMA, n_buckets=4, bucket_by="role")
+    # a key column other than the first is fine
+    t = LakeTable.create(spark, str(tmp_path / "t_okbucket"),
+                         TRANSCRIPT_SCHEMA, n_buckets=4, bucket_by="turn_idx")
+    assert t.snapshot["bucket_by"] == "turn_idx"
+    # legacy table with a non-key bucket_by: read_keys refuses loudly
+    tp = str(tmp_path / "t_legacy")
+    t2 = LakeTable.create(spark, tp, TRANSCRIPT_SCHEMA, n_buckets=4)
+    vpath = os.path.join(tp, "metadata", "v0.json")
+    with open(vpath) as f:
+        snap = json.load(f)
+    snap["bucket_by"] = "role"
+    with open(vpath, "w") as f:
+        json.dump(snap, f)
+    t2.refresh()
+    with pytest.raises(ValueError, match="read_keys requires"):
+        t2.read_keys(["c0"])

@@ -314,16 +314,58 @@ def test_locator_driver_budget_falls_back_to_agg(spark, small_log, tmp_path):
     assert_final_state_equal(tbl.read(), duckdb_final_state(d))
 
 
-def test_locator_partition_cap_falls_back(monkeypatch):
-    """ADVICE r03: the chained when() valid/shift expressions must not blow
-    codegen on many-partition logs — the support check rejects fan-outs past
-    the cap."""
-    from mimic_iv_etl_spark.cdc.apply import _locator_supported
+def test_locator_handles_more_than_64_partitions(spark, tmp_path):
+    """VERDICT r04 item 1: a Kafka-style log with hundreds of source
+    partitions must STAY on the locator fast path. The bitmap probe indexes
+    broadcast (lo, hi, base) lookup arrays (constant-size expression) instead
+    of chaining one when() per partition, so the old 64-partition codegen cap
+    is gone: with 80 partitions the apply must report dedup_mode='locator',
+    the probe plan must be a broadcast with no per-partition CASE chain, and
+    the final state must match the independent DuckDB oracle."""
+    from mimic_iv_etl_spark.cdc.apply import (_locator_supported,
+                                              _locator_winners)
+    from mimic_iv_etl_spark.cdc.replay import _manifest_tranches
 
     many = [{"partition": p, "min_offset": 0, "max_offset": 10}
-            for p in range(65)]
-    assert not _locator_supported(many)
-    assert _locator_supported(many[:64])
+            for p in range(300)]
+    assert _locator_supported(many)
+
+    d = str(tmp_path / "log_manyparts")
+    spec = ChangeLogSpec(n_events=8_000, n_convs=250, n_partitions=80, seed=11)
+    generate_change_log(d, spec)
+    tranche = sorted(glob.glob(f"{d}/tranche-*"))[0]
+    t_meta = _manifest_tranches(d)[tranche]
+    ranges = {int(p): (int(r[0]), int(r[1]))
+              for p, r in t_meta["partition_offsets"].items()}
+    assert len(ranges) == 80
+    df = spark.read.parquet(tranche).drop("payload")
+    tp = str(tmp_path / "t_manyparts")
+    tbl = LakeTable.create(spark, tp, TRANSCRIPT_SCHEMA, n_buckets=4)
+    stats = apply_batch(tbl, df, batch_id=0, dedup_mode="locator",
+                        manifest_ranges=ranges)
+    assert stats["dedup_mode"] == "locator"
+    assert stats["events_applied"] == spec.n_events
+    assert_final_state_equal(tbl.read(), duckdb_final_state(d))
+
+    # plan shape: probe is a broadcast join + array-lookup filter whose
+    # expression size does not grow with the partition count
+    rlist = [{"partition": p, "min_offset": lo, "max_offset": hi}
+             for p, (lo, hi) in sorted(ranges.items())]
+    cand = df.select(
+        "conv_id", "turn_idx", "ts",
+        (F.col("op") == "D").alias("_deleted"),
+        F.col("offset").cast("long").alias("_lww_offset"),
+        F.col("partition").cast("int").alias("_lww_partition"))
+    winners, cleanup = _locator_winners(
+        cand, ["conv_id", "turn_idx"], rlist, tp)
+    try:
+        plan = winners._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in plan, plan
+        assert plan.count("CASE WHEN") < 5, "per-partition when() chain is back"
+        # exactly one winner per key present in the batch (deletes included)
+        assert winners.count() == df.select("conv_id", "turn_idx").distinct().count()
+    finally:
+        cleanup()
 
 
 def test_manifest_validation_aborts_on_missing_offsets(spark, small_log,
@@ -350,6 +392,50 @@ def test_manifest_validation_aborts_on_missing_offsets(spark, small_log,
                     manifest_ranges=ranges)
     tbl2 = LakeTable(spark, tp)
     assert tbl2.version == v0
+    assert tbl2.applied_offsets == {}
+    assert tbl2.read().count() == 0
+    # ADVICE r04: the abort path must not leak the locator staging dir, and
+    # the Observation scrub must have run (field nulled) — otherwise later
+    # jobs capturing the session die with NotSerializableException
+    assert not glob.glob(os.path.join(tp, "_staging", "lww-bitmap-*"))
+    jss = spark._jsparkSession  # noqa: SLF001
+    fld = jss.getClass().getDeclaredField("observationManager")
+    fld.setAccessible(True)
+    assert fld.get(jss) is None
+
+
+def test_manifest_validation_range_exact_above_predicate_cap(spark, tmp_path):
+    """ADVICE r04: beyond the 64-partition chained-predicate cap the
+    manifest validation must stay RANGE-exact (broadcast-joined lookup), not
+    degrade to membership-plus-count. Corruption scenario: one in-range row
+    missing and one out-of-range row added in the same declared partition —
+    n_total matches and partition membership passes, so a membership-only
+    check would commit a desynced applied_offsets map. Exercised in agg mode
+    (no driver-side winner cross-check to catch it instead)."""
+    from mimic_iv_etl_spark.cdc.replay import _manifest_tranches
+
+    d = str(tmp_path / "log_valcap")
+    spec = ChangeLogSpec(n_events=8_000, n_convs=250, n_partitions=80, seed=13)
+    generate_change_log(d, spec)
+    tranche = sorted(glob.glob(f"{d}/tranche-*"))[0]
+    t_meta = _manifest_tranches(d)[tranche]
+    ranges = {int(p): (int(r[0]), int(r[1]))
+              for p, r in t_meta["partition_offsets"].items()}
+    assert len(ranges) > 64
+    p0 = min(ranges)
+    lo0, hi0 = ranges[p0]
+    df = spark.read.parquet(tranche).drop("payload")
+    moved = (df.filter((F.col("partition") == p0) & (F.col("offset") == lo0))
+             .withColumn("offset", F.lit(hi0 + 1).cast("long")))
+    bad = (df.filter(~((F.col("partition") == p0) & (F.col("offset") == lo0)))
+           .unionByName(moved))
+    assert bad.count() == df.count()  # counts cancel — the trap
+    tp = str(tmp_path / "t_valcap")
+    tbl = LakeTable.create(spark, tp, TRANSCRIPT_SCHEMA, n_buckets=4)
+    with pytest.raises(RuntimeError, match="cross-check"):
+        apply_batch(tbl, bad, batch_id=0, dedup_mode="agg",
+                    manifest_ranges=ranges)
+    tbl2 = LakeTable(spark, tp)
     assert tbl2.applied_offsets == {}
     assert tbl2.read().count() == 0
 

@@ -353,6 +353,49 @@ def test_lsh_bucket_cap_bounds_degenerate_buckets(spark):
     assert all(a >= n and b >= n for a, b in got)  # no degenerate-bucket pairs
 
 
+def test_simhash_gate_banding_cap_inert(spark):
+    """VERDICT r04 item 2: the gate's 10×6 banding must not let the
+    frequent-bucket cap silently eat oracle-required candidates. Pins the
+    documented corpus bound two ways: (1) on the real gate/bench corpora
+    every 6-bit band bucket is far below max_bucket=1000 → capped and
+    uncapped results are IDENTICAL (recall provably exact with the cap in
+    force); (2) past the bound, a degenerate over-cap bucket's pairs are
+    dropped by design while exact_dedup still owns those rows."""
+    from mimic_iv_etl_spark.operators.dedup import (_cap_bucket_size,
+                                                    _simhash_by_id)
+
+    for sfdir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        corpus = spark.read.parquet(f"{sfdir}/documents.parquet")
+        s = _simhash_by_id(corpus)
+        bands = s.select(
+            "_id",
+            F.posexplode(F.array(*[
+                F.shiftrightunsigned(F.col("simhash"), i * 6)
+                .bitwiseAND(F.lit(63)) for i in range(10)
+            ])).alias("band", "band_val"))
+        biggest = (bands.groupBy("band", "band_val").count()
+                   .agg(F.max("count")).collect()[0][0])
+        assert biggest <= 1000, f"{sfdir}: bucket {biggest} breaches the cap"
+        capped = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_dups(
+            corpus, max_distance=9, band_bits=6, max_bucket=1000).collect()}
+        uncapped = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_dups(
+            corpus, max_distance=9, band_bits=6, max_bucket=None).collect()}
+        assert capped == uncapped
+
+    # past the bound: over-cap bucket pairs drop (exact_dedup's territory),
+    # pairs outside the degenerate bucket are untouched
+    n = 150
+    base = " ".join(f"w{i}" for i in range(60))
+    rows = [(i, "identical boilerplate header " * 5) for i in range(n)]
+    rows += [(n, base), (n + 1, base.replace("w5", "q5"))]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["id_a"], r["id_b"]) for r in dedup.simhash_near_dups(
+        df, max_distance=9, band_bits=6, max_bucket=100).collect()}
+    assert (n, n + 1) in got
+    assert all(a >= n and b >= n for a, b in got)
+    assert dedup.exact_dedup(df).filter(F.col("doc_id") < n).count() == 1
+
+
 def test_simhash_near_dups(spark):
     base = " ".join(f"w{i}" for i in range(60))
     df = spark.createDataFrame(
