@@ -2,10 +2,14 @@
 with typed metadata, processed batch-at-a-time via ``mapInPandas``.
 
 The Spark-side contract is fully real — schemas, Arrow batch shapes,
-partition sizing — while the media codecs themselves are stubbed (the
-runtime image ships no image/audio libraries): ``decode_image`` raises
-``NotImplementedError`` unless given the deterministic fake decoder, which
-tests use to pin the plumbing end-to-end.
+partition sizing. The decode step is pluggable: ``decode_media`` takes any
+``bytes → list[float]`` callable. Two ship in-repo: the deterministic
+:func:`fake_decoder` (plumbing tests, opaque bytes) and the REAL pure-stdlib
+PNG/BMP codec :func:`mimic_iv_etl_spark.operators.imagecodec.image_decoder`
+(actual pixel decode + feature extraction — zlib inflate, scanline
+un-filtering, gradient statistics). Audio/video codecs remain honestly
+absent (no libraries in this runtime): ``decoder=None`` raises
+``NotImplementedError`` naming the alternatives.
 
 Scale notes: media rows are wide (MBs); the helpers here repartition by an
 explicit target-rows-per-partition so one Arrow batch never exceeds executor
@@ -66,14 +70,16 @@ def decode_media(
     """Decode/feature-extract media rows via ``mapInPandas``.
 
     ``decoder`` maps raw bytes → fixed-width feature vector. ``None`` raises
-    ``NotImplementedError`` at plan time — the real codec isn't available in
-    this environment; pass :func:`fake_decoder` (tests) or a real one (prod).
-    ``rows_per_batch`` bounds Arrow batch width for fat binary rows.
+    ``NotImplementedError`` at plan time — pass
+    ``imagecodec.image_decoder`` (real PNG/BMP pixel decode),
+    :func:`fake_decoder` (opaque-byte plumbing tests), or any production
+    codec callable. ``rows_per_batch`` bounds Arrow batch width for fat
+    binary rows.
     """
     if decoder is None:
         raise NotImplementedError(
-            "no media codec in this environment — pass decoder=fake_decoder "
-            "or a real codec callable"
+            "no default media codec — pass decoder=imagecodec.image_decoder "
+            "(PNG/BMP), fake_decoder, or a production codec callable"
         )
 
     def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:

@@ -447,6 +447,14 @@ def q_embedding_near_dups(spark, sf):
 # rounded so the SAME literal values embed into the DuckDB oracle SQL — the
 # oracle independently recomputes signatures, buckets, and bucket-local
 # top-k (VERDICT r03 item 7). 6 planes × the testdata's 64-dim embeddings.
+#
+# Tie-margin assumption (ADVICE r04): the derived LSH/IVF oracles rely on
+# both engines agreeing on unrounded float64 comparisons — signature dot
+# signs, argmax cell assignment, probe-cell ranking, and the 1e-6 score
+# rounding. Summation-order differences perturb doubles at ~1e-15 relative,
+# so the gate is sound iff every such margin clears a much larger epsilon
+# on the gate corpora. Verified > 1e-5 at sf0.001 and sf0.01, pinned by
+# test_registry_oracle.py::test_ann_oracle_tie_margins_clear_epsilon.
 _LSH_N_PLANES, _EMB_DIM = 6, 64
 
 

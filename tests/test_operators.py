@@ -461,6 +461,112 @@ def test_embedding_near_dups(spark):
 
 # --------------------------------------------------------------- multimodal
 
+def _png_bytes_with_filter(px, ftype):
+    """Test-side PNG writer that FILTERS scanlines with the given type
+    (encode_png only emits filter 0) so every decoder un-filter branch —
+    None/Sub/Up/Average/Paeth — is exercised against the same raw pixels."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    from mimic_iv_etl_spark.operators.imagecodec import PNG_SIG, _paeth
+
+    h, w, c = px.shape
+    color_type = {1: 0, 2: 4, 3: 2, 4: 6}[c]
+    raw = bytearray()
+    prev = np.zeros(w * c, dtype=np.int32)
+    for y in range(h):
+        row = px[y].reshape(-1).astype(np.int32)
+        filt = bytearray([ftype])
+        for x in range(w * c):
+            a = int(row[x - c]) if x >= c else 0
+            b = int(prev[x])
+            cc = int(prev[x - c]) if x >= c else 0
+            pred = {0: 0, 1: a, 2: b, 3: (a + b) // 2,
+                    4: _paeth(a, b, cc)}[ftype]
+            filt.append((int(row[x]) - pred) & 0xFF)
+        raw += filt
+        prev = row
+
+    def chunk(tag, body):
+        return (struct.pack(">I", len(body)) + tag + body
+                + struct.pack(">I", zlib.crc32(tag + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (PNG_SIG + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b""))
+
+
+def _bmp_bytes(px):
+    """Test-side 24-bit bottom-up BMP writer (stride padded to 4 bytes)."""
+    import struct
+
+    import numpy as np
+
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y, :, ::-1].astype(np.uint8).tobytes()  # RGB → BGR
+        body += row + b"\x00" * (stride - len(row))
+    off = 14 + 40
+    hdr = (b"BM" + struct.pack("<IHHI", off + len(body), 0, 0, off)
+           + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                         2835, 2835, 0, 0))
+    return bytes(hdr + body)
+
+
+def test_image_codec_decodes_real_pixels(spark):
+    """VERDICT r04 item 8: the media decode step runs a REAL pure-stdlib
+    codec — PNG (all five filter types, gray/RGB/RGBA) and 24-bit BMP
+    round-trip to the exact source pixels, corrupt bytes fail loudly, and
+    the Spark decode_media pipeline produces features equal to an
+    independent numpy fold of the same source pixels."""
+    import numpy as np
+
+    from mimic_iv_etl_spark.operators import imagecodec
+
+    rng = np.random.default_rng(17)
+    gray = rng.integers(0, 256, (13, 9, 1), dtype=np.uint8)
+    rgb = rng.integers(0, 256, (16, 11, 3), dtype=np.uint8)
+    rgba = rng.integers(0, 256, (7, 21, 4), dtype=np.uint8)
+
+    # encoder → decoder round-trip (filter 0) on every channel layout
+    for px in (gray, rgb, rgba):
+        got = imagecodec.decode_png(imagecodec.encode_png(px.squeeze()))
+        assert np.array_equal(got, px)
+    # every un-filter branch recovers the same pixels
+    for ftype in range(5):
+        got = imagecodec.decode_png(_png_bytes_with_filter(rgb, ftype))
+        assert np.array_equal(got, rgb), f"filter {ftype}"
+    # BMP: bottom-up 24-bit with row padding
+    assert np.array_equal(imagecodec.decode_bmp(_bmp_bytes(rgb)), rgb)
+
+    # corrupt/unsupported inputs fail loudly
+    png = imagecodec.encode_png(rgb)
+    for bad in (b"", b"JUNKJUNK", png[:40], png[:30] + b"\x00" + png[31:]):
+        with pytest.raises(ValueError):
+            imagecodec.decode_image(bad)
+
+    # Spark pipeline: features == independent numpy fold of the source pixels
+    rows = [(0, "image", "image/png", 11, 16, None,
+             bytearray(imagecodec.encode_png(rgb))),
+            (1, "image", "image/bmp", 11, 16, None,
+             bytearray(_bmp_bytes(rgb))),
+            (2, "image", "image/png", 9, 13, None,
+             bytearray(imagecodec.encode_png(gray.squeeze())))]
+    media = spark.createDataFrame(rows, multimodal.MEDIA_SCHEMA)
+    feats = {r["media_id"]: r["feature"] for r in
+             multimodal.decode_media(
+                 media, decoder=imagecodec.image_decoder).collect()}
+    for mid, src in ((0, rgb), (1, rgb), (2, gray)):
+        p = src.astype(np.float64)
+        want = [p.shape[1], p.shape[0], p.shape[2], p.mean(), p.std(),
+                p.min(), p.max(), np.abs(np.diff(p, axis=1)).mean()]
+        assert np.allclose(feats[mid], want, rtol=1e-6), mid
+
+
 def test_multimodal_plumbing(spark):
     media = multimodal.synthesize_media(spark, n=30)
     feats = multimodal.decode_media(media, decoder=multimodal.fake_decoder)

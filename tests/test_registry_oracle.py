@@ -55,6 +55,46 @@ def test_no_rows_only_entries_remain():
     assert ROWS_ONLY == []
 
 
+def test_ann_oracle_tie_margins_clear_epsilon():
+    """ADVICE r04: the derived LSH/IVF oracles assume Spark and DuckDB agree
+    on (a) the SIGN of every hyperplane·vector dot (bucket bits), (b) the
+    argmax centroid-cosine cell assignment and the n_probe cell ranking, and
+    (c) the 1e-6 score rounding. Different summation order between engines
+    perturbs a float64 dot at ~1e-15 relative — so the gate is only sound if
+    every such margin clears a far larger epsilon on the gate corpora.
+    Measured margins are all > 1e-5; assert > 1e-9 at both gate SFs so no
+    unlucky near-tie can ever flip the gate spuriously."""
+    import numpy as np
+
+    from mimic_iv_etl_spark.registry import _IVF_CENTROID_IDS, _lsh_planes
+
+    eps = 1e-9
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        con = duckdb.connect()
+        emb = con.execute(
+            f"select vec_id, embedding from '{sf}/embeddings.parquet' "
+            "order by vec_id").df()
+        V = np.array(emb["embedding"].tolist(), dtype=np.float64)
+        ids = emb["vec_id"].to_numpy()
+        # (a) signature dot signs
+        P = np.array(_lsh_planes(), dtype=np.float64)
+        assert np.abs(V @ P.T).min() > eps, sf
+        # (b) cell-assignment and probe-rank gaps (exact ties are fine —
+        # both engines break them on the centroid id deterministically)
+        C = V[np.isin(ids, _IVF_CENTROID_IDS)]
+        cos = (V @ C.T) / np.outer(np.linalg.norm(V, axis=1),
+                                   np.linalg.norm(C, axis=1))
+        s = np.sort(cos, axis=1)
+        for gap in (s[:, -1] - s[:, -2], s[:, -2] - s[:, -3]):
+            assert ((gap > eps) | (gap == 0)).all(), sf
+        # (c) 1e-6 rounding boundaries for the query-corpus scores
+        q = V[ids < 20]
+        qc = (q @ V.T) / np.outer(np.linalg.norm(q, axis=1),
+                                  np.linalg.norm(V, axis=1))
+        frac = np.abs(qc * 1e6 - np.floor(qc * 1e6) - 0.5)
+        assert frac.min() > eps, sf
+
+
 def test_registry_holds_exactly_fifty_oracled_entries():
     """Entry-budget discipline (VERDICT r03 item 1): the driver's correctness
     gate records the FIRST 50 (query, oracle) pairs in registry order — more
