@@ -187,26 +187,32 @@ def _locator_winners(candidates: DataFrame, key_cols: list[str],
             raise
 
     spark = candidates.sparkSession
-    bm = spark.read.parquet(bm_path)
-    p = F.col("_lww_partition")
-    o = F.col("_lww_offset")
-    # partition-count-independent probe: F.get is 0-based and yields NULL for
-    # out-of-range/NULL indices, so unknown partitions fail `valid` without
-    # any ANSI error; hi defaults to -1, so in-array but undeclared
-    # partitions fail the o<=hi bound. try_element_at (not element_at) so a
-    # corrupt batch's out-of-window gidx yields NULL→false instead of an
-    # ANSI index error if the optimizer ever evaluates the bit probe before
-    # the `valid` conjunct.
-    lo = F.get(F.col("_lo"), p)
-    hi = F.get(F.col("_hi"), p)
-    base = F.get(F.col("_base"), p)
-    valid = lo.isNotNull() & (o >= lo) & (o <= hi)
-    gidx = o + (base - lo)
-    word = F.try_element_at(F.col("_bm"), F.shiftright(gidx, 6).cast("int") + 1)
-    probe = valid & (F.getbit(word, F.pmod(gidx, 64)) == 1)
-    winners = (candidates.crossJoin(F.broadcast(bm))
-               .filter(probe)
-               .drop("_bm", "_lo", "_hi", "_base"))
+    with phase("locator_probe_build"):
+        # explicit schema (skips footer-based inference: 109→18 ms measured)
+        bm = spark.read.schema(
+            "_bm array<bigint>, _lo array<bigint>, _hi array<bigint>, "
+            "_base array<bigint>").parquet(bm_path)
+        # partition-count-independent probe, built as ONE server-side-parsed
+        # SQL expression (chained Column ops cost ~2 ms of Py4J per call —
+        # a real slice of the per-micro-batch fixed cost). Semantics:
+        # `get` is 0-based and yields NULL for out-of-range/NULL indices, so
+        # unknown partitions fail the lo/hi bounds without any ANSI error
+        # (hi defaults to -1 for in-array but undeclared partitions);
+        # try_element_at (not element_at) so a corrupt batch's out-of-window
+        # bit index yields NULL→false instead of an ANSI index error if the
+        # optimizer ever reorders the conjuncts. AND short-circuits left to
+        # right, so the bit probe only runs on rows inside the window.
+        gidx = ("(_lww_offset + (get(_base, _lww_partition)"
+                " - get(_lo, _lww_partition)))")
+        probe = F.expr(
+            "get(_lo, _lww_partition) IS NOT NULL"
+            " AND _lww_offset >= get(_lo, _lww_partition)"
+            " AND _lww_offset <= get(_hi, _lww_partition)"
+            f" AND getbit(try_element_at(_bm, CAST(shiftright({gidx}, 6)"
+            f" AS int) + 1), pmod({gidx}, 64)) = 1")
+        winners = (candidates.crossJoin(F.broadcast(bm))
+                   .filter(probe)
+                   .drop("_bm", "_lo", "_hi", "_base"))
     return winners, lambda: shutil.rmtree(stage_dir, ignore_errors=True)
 
 
@@ -218,20 +224,24 @@ def _hwm_filter(batch_df: DataFrame, applied: dict[int, int]) -> DataFrame:
     if not applied:
         return batch_df
     if len(applied) <= _HWM_PREDICATE_CAP:
-        pred = None
-        known = None
-        for p, o in sorted(applied.items()):
-            clause = (F.col("partition") == int(p)) & (F.col("offset") > int(o))
-            is_p = F.col("partition") == int(p)
-            pred = clause if pred is None else (pred | clause)
-            known = is_p if known is None else (known | is_p)
+        # one F.expr over a server-side-parsed SQL string, not a chain of
+        # Column operators: each Column op is a Py4J round-trip, and at ~2 ms
+        # per call the chained build cost ~240 ms of driver wall PER
+        # MICRO-BATCH (measured — the dominant slice of the per-trigger
+        # fixed cost the round-4 stream bench flagged)
+        pred = " OR ".join(
+            f"(partition = {int(p)} AND offset > {int(o)})"
+            for p, o in sorted(applied.items()))
+        members = " OR ".join(
+            f"partition = {int(p)}" for p in sorted(applied))
         # events from partitions with no committed hwm are always fresh; a
-        # NULL partition must be kept too (pred | ~known is NULL for it, and
-        # the broadcast-join path below keeps such rows via coalesce(_hwm,-1)
-        # — the two paths must agree) so the downstream unknown-partition
-        # guards see and reject it instead of it silently vanishing here
-        return batch_df.filter(
-            pred | ~known | F.col("partition").isNull())
+        # NULL partition must be kept too (pred / NOT members are NULL for
+        # it, and the broadcast-join path below keeps such rows via
+        # coalesce(_hwm,-1) — the two paths must agree) so the downstream
+        # unknown-partition guards see and reject it instead of it silently
+        # vanishing here
+        return batch_df.filter(F.expr(
+            f"({pred}) OR NOT ({members}) OR partition IS NULL"))
     rows = [(int(p), int(o)) for p, o in applied.items()]
     hwm = batch_df.sparkSession.createDataFrame(rows, "partition int, _hwm long")
     return (
@@ -336,6 +346,7 @@ def apply_batch(
     t0 = time.monotonic()
     spark = table.spark
 
+    _prelude_t0 = time.monotonic()
     late_decode = decode_payload and "payload" in batch_df.columns
     data_fields = [f for f in batch_df.schema.fields if f.name not in META_COLS]
     if late_decode:
@@ -418,12 +429,12 @@ def apply_batch(
 
         drop_rng = ()
         if len(ranges) <= _HWM_PREDICATE_CAP:
-            known = None
-            for r in ranges:
-                ok = ((F.col("partition") == int(r["partition"]))
-                      & (F.col("offset") >= int(r["min_offset"]))
-                      & (F.col("offset") <= int(r["max_offset"])))
-                known = ok if known is None else (known | ok)
+            # single-expr SQL build for the same Py4J-chatter reason as
+            # _hwm_filter (measured ~230 ms/batch as chained Columns)
+            known = F.expr(" OR ".join(
+                f"(partition = {int(r['partition'])} AND offset BETWEEN "
+                f"{int(r['min_offset'])} AND {int(r['max_offset'])})"
+                for r in ranges))
         else:
             # beyond the chained-predicate cap the range check rides a
             # broadcast-joined (partition → lo, hi) lookup instead of
@@ -498,24 +509,31 @@ def apply_batch(
             p = str(r["partition"])
             new_applied[p] = max(int(new_applied.get(p, -1)), int(r["max_offset"]))
 
-    # -- internal candidate rows: data cols aligned to merged schema + stamps --
+    # -- internal candidate rows: data cols aligned to merged schema + stamps
+    # (selectExpr over SQL strings — one Py4J call instead of ~5 per column)
     have = set(batch_df.columns)
     decode_names = {"role", "text", "tool"} if late_decode else set()
-    data_cols = [
-        F.col(f.name).cast(f.dataType).alias(f.name)
-        if f.name in have
-        else F.lit(None).cast(f.dataType).alias(f.name)
+    data_exprs = [
+        (f"CAST(`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
+         if f.name in have
+         else f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`")
         for f in merged.fields
         if f.name not in decode_names
     ]
     if late_decode:
-        data_cols.append(F.col("payload"))
-    candidates = fresh.select(
-        *data_cols,
-        (F.col("op") == F.lit("D")).alias("_deleted"),
-        F.col("offset").cast("long").alias("_lww_offset"),
-        F.col("partition").cast("int").alias("_lww_partition"),
+        data_exprs.append("`payload`")
+    candidates = fresh.selectExpr(
+        *data_exprs,
+        "(op = 'D') AS _deleted",
+        "CAST(offset AS bigint) AS _lww_offset",
+        "CAST(partition AS int) AS _lww_partition",
     )
+    # driver-side plan construction up to this point (schema merge, hwm
+    # filter, validation observe, candidate projection) — pure Py4J/analysis
+    # work, no Spark job; a per-micro-batch fixed cost worth watching
+    from mimic_iv_etl_spark.cdc.profiling import record as _record
+
+    _record("plan_prelude", time.monotonic() - _prelude_t0)
 
     if dedup_mode == "locator":
         # locator needs the dense-manifest arithmetic ranges, the packed
@@ -558,6 +576,7 @@ def apply_batch(
                 candidates, table.key_cols, ranges, table.path)
         else:
             winners = lww_reduce(candidates, table.key_cols, mode=dedup_mode)
+        _wplan_t0 = time.monotonic()
         if late_decode:
             from mimic_iv_etl_spark.functions.textfns import decode_payload_json
 
@@ -574,6 +593,7 @@ def apply_batch(
             winners = winners.withColumn("text", normalize_text(F.col("text")))
         if not pre_partitioned:
             winners = winners.withColumn(BUCKET_COL, table.bucket_expr())
+        _record("winners_plan", time.monotonic() - _wplan_t0)
 
         if obs is not None:
             with phase("append_delta"):
@@ -639,7 +659,8 @@ def apply_batch(
         if obs is not None or obs_val is not None:
             from mimic_iv_etl_spark.session import scrub_observation_manager
 
-            scrub_observation_manager(spark)
+            with phase("observation_scrub"):
+                scrub_observation_manager(spark)
     if cached is not None:
         cached.unpersist()
 

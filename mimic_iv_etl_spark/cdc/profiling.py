@@ -29,6 +29,13 @@ def phase(name: str):
         PHASES[name] = PHASES.get(name, 0.0) + (time.monotonic() - t0)
 
 
+def record(name: str, seconds: float) -> None:
+    """Accumulate an externally-timed span (for regions where a ``with``
+    block would force awkward reindentation around early returns)."""
+    if _ENABLED:
+        PHASES[name] = PHASES.get(name, 0.0) + seconds
+
+
 def reset() -> None:
     PHASES.clear()
 

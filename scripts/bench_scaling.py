@@ -362,7 +362,11 @@ def orchestrate() -> None:
     scan = scan_count_probe(lo, hi)
     eff_norm = (results[hi]["events_per_sec"] / results[lo]["events_per_sec"]) / cpu_ratio
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
-    md = os.path.join(REPO, "BENCH", "BASELINE.md")
+    # SCALING_OUT_MD redirects the report — used by one-off disclosure runs
+    # at non-published pairs (e.g. 8→32) so they don't clobber the published
+    # table; their numbers get folded into BENCH/BASELINE.md by hand
+    md = os.environ.get("SCALING_OUT_MD",
+                        os.path.join(REPO, "BENCH", "BASELINE.md"))
     with open(md, "w") as f:
         f.write(
             "# BENCH/BASELINE — CDC replay throughput & scaling efficiency\n\n"
