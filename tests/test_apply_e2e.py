@@ -88,18 +88,18 @@ def test_reapply_is_idempotent_noop(spark, small_log, tmp_path):
     for i, b in enumerate(batches):
         apply_batch(tbl, b, batch_id=i)
     v = tbl.version
-    files_before = [e["path"] for e in tbl.snapshot["files"]]
+    files_before = [e["path"] for e in tbl.files]
 
     # replay batch 1 (duplicate delivery / foreachBatch retry) → no-op
     stats = apply_batch(tbl, batches[1], batch_id=99)
     assert stats["skipped"] and stats["events_applied"] == 0
     assert tbl.version == v  # table untouched
-    assert [e["path"] for e in tbl.snapshot["files"]] == files_before
+    assert [e["path"] for e in tbl.files] == files_before
 
     # with commit_noop=True the epoch is recorded as a metadata-only commit
     stats = apply_batch(tbl, batches[1], batch_id=100, commit_noop=True)
     assert stats["skipped"] and tbl.version == v + 1
-    assert [e["path"] for e in tbl.snapshot["files"]] == files_before
+    assert [e["path"] for e in tbl.files] == files_before
     assert_final_state_equal(tbl.read(), duckdb_final_state(d))
 
 

@@ -68,14 +68,14 @@ def test_changes_single_commit_reads_only_that_delta(replayed):
     tbl, _, versions = replayed
     v_from, v_to = versions[1], versions[2]
     out = tbl.changes(v_from, v_to)
-    batch2 = tbl.at_version(v_to).snapshot["files"]
-    batch1 = {e["path"] for e in tbl.at_version(v_from).snapshot["files"]}
+    batch2 = tbl.at_version(v_to).files
+    batch1 = {e["path"] for e in tbl.at_version(v_from).files}
     added_rows = sum(e["rows"] for e in batch2 if e["path"] not in batch1)
     assert out.count() <= added_rows  # net collapse can only shrink
     assert out.count() > 0
     # physical check: only the added files appear in the scan plan
     plan = out._jdf.queryExecution().executedPlan().toString()
-    for e in tbl.at_version(v_from).snapshot["files"]:
+    for e in tbl.at_version(v_from).files:
         assert os.path.basename(e["path"]) not in plan
 
 
@@ -134,8 +134,8 @@ def test_changes_net_collapse_is_lww(spark, tmp_path):
     rows = {(r["conv_id"], r["turn_idx"]): r["text"]
             for r in tbl.read().collect()}
     assert rows == {("c2", 0): "post-rebucket"}
-    assert {e["kind"] for e in tbl.snapshot["files"]
-            if e["path"] not in {x["path"] for x in tbl.at_version(v).snapshot["files"]}} == {"delta"}
+    assert {e["kind"] for e in tbl.files
+            if e["path"] not in {x["path"] for x in tbl.at_version(v).files}} == {"delta"}
 
 
 def test_rebucket_preserves_state_and_routing(replayed):
@@ -143,12 +143,12 @@ def test_rebucket_preserves_state_and_routing(replayed):
     changelog noise, and pruning agrees with the new routing function."""
     tbl, d, _ = replayed
     v_before = tbl.version
-    old_files = {e["path"] for e in tbl.snapshot["files"]}
+    old_files = {e["path"] for e in tbl.files}
     tbl = tbl.rebucket(16)
     assert tbl.n_buckets == 16
-    assert {e["bucket"] for e in tbl.snapshot["files"]} - set(range(8)), \
+    assert {e["bucket"] for e in tbl.files} - set(range(8)), \
         "new bucket space unused — rebucket routed with the old count"
-    assert not old_files & {e["path"] for e in tbl.snapshot["files"]}
+    assert not old_files & {e["path"] for e in tbl.files}
     assert_final_state_equal(tbl.read(), duckdb_final_state(d))
     # a physical rewrite is not a logical change
     assert tbl.changes(v_before).count() == 0
@@ -179,7 +179,7 @@ def test_vacuum_reclaims_orphans_and_keeps_referenced(replayed):
     assert not os.path.exists(stray_stage)
     assert not os.path.exists(stray_data)
     # every referenced file survives; reads still match the oracle
-    for e in tbl.snapshot["files"]:
+    for e in tbl.files:
         assert os.path.exists(os.path.join(tbl.path, e["path"]))
     assert_final_state_equal(tbl.read(), duckdb_final_state(d))
 

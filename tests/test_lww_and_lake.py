@@ -132,7 +132,7 @@ def test_lake_create_append_read_compact(spark, tmp_path):
     v = tbl.version
     tbl.compact()
     assert tbl.version == v + 1
-    assert all(e["kind"] == "base" for e in tbl.snapshot["files"])
+    assert all(e["kind"] == "base" for e in tbl.files)
     got2 = {(r["conv_id"], r["turn_idx"]): r["text"] for r in tbl.read().collect()}
     assert got2 == got
     assert tbl.read(internal=True).count() == 3  # tombstone survives compaction
@@ -166,24 +166,24 @@ def test_expire_tombstones_targets_only_tombstone_buckets(spark, tmp_path):
                      summary={"applied_offsets": {"0": 99}})
     tbl.compact()
 
-    files_before = {e["path"]: e for e in tbl.snapshot["files"]}
+    files_before = {e["path"]: e for e in tbl.files}
     tomb_bucket = (
         spark.createDataFrame([("c7",)], "conv_id string")
         .select(tbl.bucket_expr().alias("b")).collect()[0]["b"]
     )
     assert any(e["has_tombstones"] and e["bucket"] == tomb_bucket
-               for e in tbl.snapshot["files"])
+               for e in tbl.files)
 
     rows_before = {(r["conv_id"], r["turn_idx"]) for r in tbl.read().collect()}
     tbl.expire_tombstones(str(TS + dt.timedelta(days=1)))
 
     # untouched buckets keep identical file entries; the tombstone bucket
     # was rewritten; the tombstone itself is gone from the internal read
-    for e in tbl.snapshot["files"]:
+    for e in tbl.files:
         if e["bucket"] != tomb_bucket:
             assert e == files_before[e["path"]], "tombstone-free bucket rewritten"
     assert all(e["bucket"] == tomb_bucket or e["path"] in files_before
-               for e in tbl.snapshot["files"])
+               for e in tbl.files)
     assert tbl.read(internal=True).filter(F.col("_deleted")).count() == 0
     assert {(r["conv_id"], r["turn_idx"]) for r in tbl.read().collect()} == rows_before
 
@@ -241,6 +241,71 @@ def test_read_keys_point_lookup_prunes_and_pushes_down(spark, small_log, tmp_pat
 
     # empty key list → empty result, no files
     assert tbl.read_keys([]).count() == 0
+
+
+def test_manifest_segments_make_commits_o_batch(spark, tmp_path):
+    """Iceberg-style manifest segments: an append commit writes ONE new
+    segment holding exactly its staged entries and references prior segments
+    by name — snapshot JSON size is O(segments), not O(total files). A
+    legacy snapshot with an inline `files` list stays readable and migrates
+    at its next commit; vacuum GCs segments no retained snapshot references."""
+    import json
+    import os
+
+    from mimic_iv_etl_spark.lake.table import _files_of
+
+    path = str(tmp_path / "tbl_seg")
+    tbl = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=4)
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, _deleted boolean, _lww_offset long, _lww_partition int"
+    )
+    for batch in range(3):
+        rows = [(f"c{i}", batch, "user", f"t{batch}", None, TS, False,
+                 batch * 100 + i, 0) for i in range(8)]
+        tbl.append_delta(_internal(spark.createDataFrame(rows, schema), tbl),
+                         summary={"applied_offsets": {"0": batch * 100 + 7}})
+    # one segment per append; each holds exactly that batch's files
+    assert len(tbl.manifests) == 3
+    meta = os.path.join(path, "metadata")
+    with open(os.path.join(meta, f"v{tbl.version}.json")) as f:
+        snap = json.load(f)
+    assert "files" not in snap  # snapshot carries segment names only
+    per_segment = [len(_files_of(meta, {"manifests": [m]}))
+                   for m in tbl.manifests]
+    assert sum(per_segment) == len(tbl.files)
+    assert max(per_segment) <= 4  # ≤ n_buckets files per commit
+    n_files = len(tbl.files)
+
+    # compaction rewrites touched segments; count collapses
+    tbl.compact()
+    assert len(tbl.manifests) == 1
+    assert all(e["kind"] == "base" for e in tbl.files)
+
+    # legacy inline-format snapshot: rewrite current snapshot to inline form
+    vpath = os.path.join(meta, f"v{tbl.version}.json")
+    with open(vpath) as f:
+        snap = json.load(f)
+    snap["files"] = _files_of(meta, snap)
+    del snap["manifests"]
+    with open(vpath, "w") as f:
+        json.dump(snap, f)
+    tbl.refresh()
+    legacy_files = {e["path"] for e in tbl.files}
+    assert len(legacy_files) > 0  # legacy read works
+    # next commit migrates the inline list into a segment
+    rows = [("cX", 9, "user", "new", None, TS, False, 999, 0)]
+    tbl.append_delta(_internal(spark.createDataFrame(rows, schema), tbl),
+                     summary={"applied_offsets": {"0": 999}})
+    assert len(tbl.manifests) == 2
+    assert {e["path"] for e in tbl.files} > legacy_files
+
+    # vacuum GCs segments orphaned by snapshot expiry (grace 0)
+    tbl.expire_snapshots(keep_last=1)
+    removed = tbl.vacuum(grace_seconds=0.0)
+    assert removed["manifests"] >= 1
+    assert {e["path"] for e in tbl.files} > legacy_files  # table intact
+    assert tbl.read().count() > 0
 
 
 def test_bucket_by_must_be_a_key_column(spark, tmp_path):

@@ -153,8 +153,10 @@ def test_bucket_fused_dedup_matches_oracle(spark, small_log, tmp_path, salt):
     # write must not explode into tasks × buckets tiny files)
     history = sorted(tbl.history(), key=lambda s: s["version"])
     for prev, cur in zip(history, history[1:]):
-        prev_paths = {e["path"] for e in prev["files"]}
-        added = [e for e in cur["files"] if e["path"] not in prev_paths]
+        prev_paths = {e["path"]
+                      for e in tbl.at_version(prev["version"]).files}
+        added = [e for e in tbl.at_version(cur["version"]).files
+                 if e["path"] not in prev_paths]
         assert len(added) <= 8 * salt
 
 

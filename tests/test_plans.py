@@ -54,7 +54,7 @@ def test_lake_read_prunes_to_selected_buckets(spark, small_log, tmp_path):
     d, _, _ = small_log
     tbl = LakeTable.create(spark, str(tmp_path / "t"), TRANSCRIPT_SCHEMA, n_buckets=8)
     apply_batch(tbl, spark.read.parquet(f"{d}/tranche-0").drop("payload"), batch_id=0)
-    all_files = [e for e in tbl.snapshot["files"]]
+    all_files = [e for e in tbl.files]
     one_bucket = {all_files[0]["bucket"]}
     scanned = {f.split("/")[-1] for f in tbl.read(buckets=one_bucket).inputFiles()}
     kept = {e["path"].split("/")[-1] for e in all_files if e["bucket"] in one_bucket}

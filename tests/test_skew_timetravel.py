@@ -37,7 +37,7 @@ def test_write_salt_splits_hot_bucket_files(spark, skewed_log, tmp_path):
                batch_offsets=100_000, n_buckets=4, write_salt=4)
     tbl = LakeTable(spark, tp)
     per_bucket: dict[int, int] = {}
-    for e in tbl.snapshot["files"]:
+    for e in tbl.files:
         per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
     # the hot conversation's bucket was written by several salted tasks
     assert max(per_bucket.values()) > 1

@@ -32,7 +32,7 @@ def test_crash_between_stage_and_commit_is_safe(spark, small_log, tmp_path, monk
     apply_batch(tbl, first, batch_id=0)
     v_before = tbl.version
     rows_before = tbl.read().count()
-    files_before = {e["path"] for e in tbl.snapshot["files"]}
+    files_before = {e["path"] for e in tbl.files}
 
     class Boom(RuntimeError):
         pass
