@@ -67,7 +67,16 @@ BUCKET_COL = "_bucket"
 
 
 class CommitConflict(RuntimeError):
-    """Another writer committed the same snapshot version first."""
+    """Another writer committed the same snapshot version first, and the
+    commit could not be (or was not allowed to be) rebased onto the winner."""
+
+
+# Optimistic-concurrency retry budget (Iceberg's commit.retry.num-retries
+# analogue): a losing writer refreshes, revalidates its commit against the
+# winner's snapshot, and re-points its already-written manifest segment at
+# the new base — the staged DATA files are never rewritten, so a retry costs
+# one metadata round, not a Spark job.
+_MAX_COMMIT_RETRIES = 10
 
 
 # --------------------------------------------------------------------------
@@ -131,6 +140,10 @@ def _internal_schema(public: T.StructType) -> T.StructType:
 
 class LakeTable:
     """Handle on a snapshot table rooted at ``path``."""
+
+    # True only on time-travel handles (see :meth:`at_version`) — they are
+    # read-only and never rebase a lost commit race onto a newer snapshot.
+    _pinned = False
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -196,12 +209,13 @@ class LakeTable:
     def at_version(self, version: int) -> "LakeTable":
         """Time travel: a read-only handle pinned to snapshot ``version``
         (snapshots are immutable; any commit from this handle raises
-        CommitConflict because its version is stale)."""
+        CommitConflict — pinned handles never join the retry/rebase loop)."""
         other = LakeTable.__new__(LakeTable)
         other.spark = self.spark
         other.path = self.path
         other._meta_dir = self._meta_dir
         other._data_dir = self._data_dir
+        other._pinned = True
         with open(os.path.join(self._meta_dir, f"v{version}.json")) as f:
             other.snapshot = json.load(f)
         return other
@@ -529,19 +543,51 @@ class LakeTable:
         inline = self.snapshot.get("files", [])
         return [_write_manifest(self._meta_dir, inline)] if inline else []
 
-    def _kept_manifests(self, drop_buckets: set[int]) -> list[str]:
-        """Segments with every entry of ``drop_buckets`` removed: untouched
-        segments are kept by NAME (no rewrite); touched ones are rewritten
-        without the dropped entries (dropped entirely when emptied)."""
+    def _kept_manifests(self, replaced: set[str]) -> list[str]:
+        """Segments with every entry whose path is in ``replaced`` removed:
+        untouched segments are kept by NAME (no rewrite); touched ones are
+        rewritten without the dropped entries (dropped entirely when
+        emptied). Path-granular on purpose: when a copy-on-write commit
+        rebases onto a concurrent append, delta files the other writer added
+        to the same buckets must SURVIVE the rewrite — only the exact files
+        this writer read and replaced are dropped. Raises CommitConflict if
+        any replaced file is no longer referenced (a concurrent rewrite beat
+        us to it — our staged replacement is stale)."""
         kept: list[str] = []
+        found: set[str] = set()
         for m in self._base_manifests():
             entries = _load_manifest(self._meta_dir, m)
-            keep = [e for e in entries if e["bucket"] not in drop_buckets]
+            keep = [e for e in entries if e["path"] not in replaced]
+            if len(keep) != len(entries):
+                found.update(e["path"] for e in entries if e["path"] in replaced)
             if len(keep) == len(entries):
                 kept.append(m)
             elif keep:
                 kept.append(_write_manifest(self._meta_dir, keep))
+        if found != replaced:
+            raise CommitConflict(
+                f"{len(replaced - found)} replaced file(s) no longer "
+                "referenced by the current snapshot (concurrent rewrite); "
+                "stale copy-on-write commit aborted")
         return kept
+
+    def _rebase_guard(self, base: dict) -> None:
+        """Invariants under which a lost commit race may be replayed onto the
+        winner's snapshot: the staged files' layout inputs (bucket function,
+        schema lineage, key columns) must be what they were when the files
+        were written. A concurrent schema evolution, rebucket, or key change
+        makes the staged bytes unrebaseable → CommitConflict (caller redoes
+        the write against the fresh snapshot)."""
+        cur = self.snapshot
+        same = (cur["schema_id"] == base["schema_id"]
+                and cur["n_buckets"] == base["n_buckets"]
+                and cur["bucket_by"] == base["bucket_by"]
+                and cur["key_cols"] == base["key_cols"])
+        if not same:
+            raise CommitConflict(
+                "concurrent commit changed table layout (schema/bucketing/"
+                "keys); staged files cannot be rebased — restage against "
+                f"v{cur['version']}")
 
     def _commit(
         self,
@@ -552,32 +598,56 @@ class LakeTable:
         summary: dict | None,
         operation: str,
         n_buckets: int | None = None,
+        rebase=None,
     ) -> "LakeTable":
-        if new_entries:
-            manifests = manifests + [_write_manifest(self._meta_dir, new_entries)]
-        if len(manifests) > _MANIFEST_FOLD_THRESHOLD:
-            merged: list[dict] = []
-            for m in manifests:
-                merged.extend(_load_manifest(self._meta_dir, m))
-            manifests = [_write_manifest(self._meta_dir, merged)]
-        new_summary = dict(self.summary)
-        new_summary.update(summary or {})
-        new_summary["operation"] = operation
-        snap = {
-            "version": self.version + 1,
-            "parent": self.version,
-            "created_ms": int(time.time() * 1000),
-            "schema_id": schema_id,
-            "schemas": schemas,
-            "n_buckets": self.n_buckets if n_buckets is None else n_buckets,
-            "key_cols": self.key_cols,
-            "bucket_by": self.snapshot["bucket_by"],
-            "manifests": manifests,
-            "summary": new_summary,
-        }
-        with phase("snapshot_commit"):
-            _write_snapshot(self._meta_dir, snap)
-        return self.refresh()
+        """Optimistic snapshot commit. ``rebase`` (zero-arg → base segment
+        list) is the concurrent-writer story: on a lost O_EXCL race the
+        handle refreshes to the winner, revalidates layout invariants
+        (:meth:`_rebase_guard`), recomputes the base segments against the
+        winner's snapshot, and re-points the SAME already-written new-entry
+        segment — the staged data files are untouched, so ingest and
+        maintenance (compaction, tombstone expiry) interleave without either
+        redoing a Spark job. No ``rebase`` (full rewrites like
+        :meth:`rebucket`, pinned time-travel handles) → conflict raises."""
+        if self._pinned:
+            raise CommitConflict(
+                "time-travel handle is read-only (pinned snapshot)")
+        base_snap = self.snapshot
+        new_seg = (_write_manifest(self._meta_dir, new_entries)
+                   if new_entries else None)
+        for attempt in range(_MAX_COMMIT_RETRIES + 1):
+            all_m = manifests + [new_seg] if new_seg else list(manifests)
+            if len(all_m) > _MANIFEST_FOLD_THRESHOLD:
+                merged: list[dict] = []
+                for m in all_m:
+                    merged.extend(_load_manifest(self._meta_dir, m))
+                all_m = [_write_manifest(self._meta_dir, merged)]
+            new_summary = dict(self.summary)
+            new_summary.update(summary or {})
+            new_summary["operation"] = operation
+            snap = {
+                "version": self.version + 1,
+                "parent": self.version,
+                "created_ms": int(time.time() * 1000),
+                "schema_id": schema_id,
+                "schemas": schemas,
+                "n_buckets": self.n_buckets if n_buckets is None else n_buckets,
+                "key_cols": self.key_cols,
+                "bucket_by": self.snapshot["bucket_by"],
+                "manifests": all_m,
+                "summary": new_summary,
+            }
+            try:
+                with phase("snapshot_commit"):
+                    _write_snapshot(self._meta_dir, snap)
+                return self.refresh()
+            except CommitConflict:
+                if rebase is None or attempt == _MAX_COMMIT_RETRIES:
+                    raise
+                self.refresh()  # load the winner, then replay onto it
+                self._rebase_guard(base_snap)
+                manifests = rebase()
+        raise AssertionError("unreachable")
 
     def stage_delta(
         self,
@@ -608,10 +678,18 @@ class LakeTable:
     ) -> "LakeTable":
         """Second half of :meth:`append_delta`: snapshot-commit staged files.
         Metadata cost is O(batch): one new manifest segment holding exactly
-        the staged entries; existing segments are referenced by name."""
+        the staged entries; existing segments are referenced by name.
+
+        Concurrent-writer safe: an append that loses the snapshot race to a
+        maintenance commit (compaction, tombstone expiry) rebases onto the
+        winner — appends are always rebaseable while the table layout is
+        unchanged, so a streaming ingest never stops for maintenance. (Two
+        concurrent INGEST writers are a different topology: the
+        ``applied_offsets`` exactly-once bookkeeping is a single logical
+        stream's high-water marks, so one table takes one change stream.)"""
         out = self._commit(
             self._base_manifests(), entries, schema_id, schemas, summary,
-            "append_delta",
+            "append_delta", rebase=self._base_manifests,
         )
         self.last_new_entries = entries
         return out
@@ -651,11 +729,24 @@ class LakeTable:
     ) -> "LakeTable":
         """Copy-on-write commit: replace every file of ``touched_buckets`` with
         the rows of ``state_df`` as base files; untouched buckets keep their
-        existing files (no IO). Used by compaction and bulk loads."""
+        existing files (no IO). Used by compaction and bulk loads.
+
+        Concurrent-writer safe (Iceberg RewriteFiles semantics): the commit
+        replaces exactly the files read when the rewrite was planned; losing
+        the race to a concurrent APPEND rebases — the appended delta files
+        survive (merge-on-read LWW re-reduces them over the new base, and LWW
+        is order-insensitive under its total-order tiebreak, so
+        ``LWW(base′ ∪ delta) == LWW(old ∪ delta)``). Losing to a concurrent
+        REWRITE of any replaced file aborts: the staged result folded state
+        that no longer exists."""
+        replaced = {
+            e["path"] for e in self.files if e["bucket"] in touched_buckets
+        }
         public, schema_id, schemas = self._next_schema(new_schema)
         entries = self._stage_write(state_df, public, schema_id, "base")
-        out = self._commit(self._kept_manifests(touched_buckets), entries,
-                           schema_id, schemas, summary, "overwrite_buckets")
+        out = self._commit(self._kept_manifests(replaced), entries,
+                           schema_id, schemas, summary, "overwrite_buckets",
+                           rebase=lambda: self._kept_manifests(replaced))
         self.last_new_entries = entries
         return out
 
@@ -793,16 +884,28 @@ class LakeTable:
         return removed
 
     def commit_summary(self, summary: dict) -> "LakeTable":
-        """Metadata-only commit (e.g. marking a batch applied with zero rows)."""
-        snap = dict(self.snapshot)
-        snap["version"] = self.version + 1
-        snap["parent"] = self.version
-        snap["created_ms"] = int(time.time() * 1000)
-        new_summary = dict(self.summary)
-        new_summary.update(summary)
-        snap["summary"] = new_summary
-        _write_snapshot(self._meta_dir, snap)
-        return self.refresh()
+        """Metadata-only commit (e.g. marking a batch applied with zero rows).
+        Nothing is staged, so a lost race simply replays the summary update
+        onto the winner's snapshot."""
+        if self._pinned:
+            raise CommitConflict(
+                "time-travel handle is read-only (pinned snapshot)")
+        for attempt in range(_MAX_COMMIT_RETRIES + 1):
+            snap = dict(self.snapshot)
+            snap["version"] = self.version + 1
+            snap["parent"] = self.version
+            snap["created_ms"] = int(time.time() * 1000)
+            new_summary = dict(self.summary)
+            new_summary.update(summary)
+            snap["summary"] = new_summary
+            try:
+                _write_snapshot(self._meta_dir, snap)
+                return self.refresh()
+            except CommitConflict:
+                if attempt == _MAX_COMMIT_RETRIES:
+                    raise
+                self.refresh()
+        raise AssertionError("unreachable")
 
 
 def _has_tombstones(md) -> bool:

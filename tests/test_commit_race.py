@@ -1,0 +1,243 @@
+"""Optimistic-concurrency commit races: rebase semantics of the lake table.
+
+Two handles on the same table path are two independent writers; committing
+from a stale handle loses the ``O_EXCL`` snapshot race deterministically,
+which exercises the refresh → revalidate → rebase → retry loop without
+threads. Reference behavior being replaced: the reference engine has no
+concurrent-writer story at all (single-process BigQuery session,
+/root/reference/src/mimicfouretl/bigquery_utils.py); the semantics here are
+Iceberg's optimistic commit protocol re-expressed over snapshot JSON + file
+manifests.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from mimic_iv_etl_spark.lake.table import BUCKET_COL, CommitConflict, LakeTable
+from tests.util import TRANSCRIPT_SCHEMA
+
+TS = dt.datetime(2026, 1, 1)
+
+SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, _deleted boolean, _lww_offset long, _lww_partition int"
+)
+
+
+def _internal(df, table):
+    return df.withColumn(BUCKET_COL, table.bucket_expr())
+
+
+def _rows(spark, table, rows):
+    return _internal(spark.createDataFrame(rows, SCHEMA), table)
+
+
+def _mk_table(spark, path, n_rows=6):
+    """Table with one applied batch of ``n_rows`` delta rows."""
+    tbl = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=4)
+    rows = [
+        (f"c{i}", 0, "user", f"t{i}", None, TS, False, i, 0)
+        for i in range(n_rows)
+    ]
+    tbl.append_delta(_rows(spark, tbl, rows),
+                     summary={"applied_offsets": {"0": n_rows - 1}})
+    return tbl
+
+
+def _state(tbl):
+    return {(r["conv_id"], r["turn_idx"]): r["text"] for r in tbl.read().collect()}
+
+
+def test_stale_commit_summary_rebases(spark, tmp_path):
+    """A metadata-only commit from a stale handle replays onto the winner."""
+    path = str(tmp_path / "t_sum")
+    t1 = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=4)
+    t2 = LakeTable(spark, path)
+    t1.commit_summary({"batch_id": 1})
+    t2.commit_summary({"batch_id": 2})  # stale → loses v1 race, retries at v2
+    fresh = LakeTable(spark, path)
+    assert fresh.version == 2
+    assert fresh.summary["batch_id"] == 2
+    assert fresh.at_version(1).summary["batch_id"] == 1  # winner preserved
+
+
+def test_append_rebases_over_compaction(spark, tmp_path):
+    """Ingest never stops for maintenance: an append that loses the snapshot
+    race to a concurrent compaction re-points its staged delta segment at the
+    compacted base — no Spark job re-runs, no data re-staged."""
+    path = str(tmp_path / "t_app")
+    t1 = _mk_table(spark, path)
+    t2 = LakeTable(spark, path)
+
+    t1.compact()  # winner: folds deltas into base files
+    v_compact = t1.version
+
+    new = [("c0", 0, "user", "upd", None, TS + dt.timedelta(seconds=5),
+            False, 100, 0),
+           ("cX", 0, "user", "new", None, TS, False, 101, 0)]
+    t2.append_delta(_rows(spark, t2, new),
+                    summary={"applied_offsets": {"0": 101}})  # stale → rebase
+
+    fresh = LakeTable(spark, path)
+    assert fresh.version == v_compact + 1
+    assert fresh.snapshot["parent"] == v_compact
+    got = _state(fresh)
+    assert got[("c0", 0)] == "upd" and got[("cX", 0)] == "new"
+    assert len(got) == 7
+    # the compacted base survived: base files present alongside the new delta
+    kinds = {e["kind"] for e in fresh.files}
+    assert kinds == {"base", "delta"}
+
+
+def test_compaction_rebases_over_append_delta_survives(spark, tmp_path):
+    """RewriteFiles semantics: a compaction that loses to a concurrent append
+    keeps the appended delta files — only the exact files it read and
+    replaced are dropped, and LWW(base' ∪ delta) == LWW(old ∪ delta)."""
+    path = str(tmp_path / "t_cmp")
+    t1 = _mk_table(spark, path)
+    t2 = LakeTable(spark, path)
+
+    # t1 plans + stages the compaction against v1 but t2's append wins v2
+    new = [("c1", 0, "user", "upd1", None, TS + dt.timedelta(seconds=9),
+            False, 200, 0),
+           ("cY", 3, "user", "fresh", None, TS, False, 201, 0)]
+    t2.append_delta(_rows(spark, t2, new),
+                    summary={"applied_offsets": {"0": 201}})
+    appended = {e["path"] for e in t2.last_new_entries}
+
+    t1.compact()  # stale → loses the race, rebases onto the append
+
+    fresh = LakeTable(spark, path)
+    assert fresh.version == t2.version + 1
+    live = {e["path"] for e in fresh.files}
+    assert appended <= live, "concurrent append's delta files were dropped"
+    got = _state(fresh)
+    assert got[("c1", 0)] == "upd1" and got[("cY", 3)] == "fresh"
+    assert len(got) == 7
+    # merge-on-read re-reduces the surviving delta over the rebased base
+    assert got[("c0", 0)] == "t0"
+
+
+def test_conflicting_rewrites_abort(spark, tmp_path):
+    """Two rewrites of the same files cannot both win: the loser's staged
+    result folded state that no longer exists → CommitConflict, staged files
+    never referenced."""
+    path = str(tmp_path / "t_dup")
+    t1 = _mk_table(spark, path)
+    t2 = LakeTable(spark, path)
+
+    t2.compact()  # winner rewrote every delta file
+    v_win = t2.version
+    with pytest.raises(CommitConflict, match="no longer referenced"):
+        t1.compact()  # same replaced set → unrebaseable
+
+    fresh = LakeTable(spark, path)
+    assert fresh.version == v_win  # loser left no snapshot behind
+    assert _state(fresh) == _state(t2)
+
+
+def test_rebase_guard_rejects_layout_change(spark, tmp_path):
+    """A concurrent partition evolution (rebucket) makes staged files
+    unrebaseable: their _bucket column was computed with the old bucket
+    function. The guard aborts instead of committing misrouted files."""
+    path = str(tmp_path / "t_lay")
+    t1 = _mk_table(spark, path)
+    t2 = LakeTable(spark, path)
+
+    t1.rebucket(8)  # winner changes the table layout
+    new = [("cZ", 0, "user", "x", None, TS, False, 300, 0)]
+    staged = _rows(spark, t2, new)  # bucketed with the OLD n_buckets=4
+    with pytest.raises(CommitConflict, match="layout"):
+        t2.append_delta(staged, summary={"applied_offsets": {"0": 300}})
+
+    fresh = LakeTable(spark, path)
+    assert fresh.version == t1.version
+    assert fresh.n_buckets == 8
+
+
+def test_append_append_race_rebases(spark, tmp_path):
+    """Two plain data appends interleave: the loser re-points its segment;
+    both batches are visible. (Exactly-once offset bookkeeping remains a
+    single logical stream's job — this covers side-loading, not dual CDC.)"""
+    path = str(tmp_path / "t_aa")
+    t1 = _mk_table(spark, path)
+    t2 = LakeTable(spark, path)
+
+    a = [("p", 0, "user", "from-t1", None, TS, False, 400, 0)]
+    b = [("q", 0, "user", "from-t2", None, TS, False, 401, 0)]
+    t1.append_delta(_rows(spark, t1, a))
+    t2.append_delta(_rows(spark, t2, b))  # stale → rebase
+
+    fresh = LakeTable(spark, path)
+    got = _state(fresh)
+    assert got[("p", 0)] == "from-t1" and got[("q", 0)] == "from-t2"
+    assert len(got) == 8
+
+
+def test_ingest_with_concurrent_maintenance(spark, small_log, tmp_path):
+    """The deployment shape the rebase loop exists for: a second process
+    (here: thread + independent handle) runs aggressive compaction WHILE the
+    CDC replay ingests. Every real O_EXCL race lands on one of the rebase
+    paths; exactly-once accounting and the DuckDB final-state oracle must
+    hold regardless of interleaving."""
+    import threading
+    import time as _time
+
+    from mimic_iv_etl_spark.cdc.oracle import duckdb_final_state
+    from mimic_iv_etl_spark.cdc.replay import replay_log
+    from tests.util import assert_final_state_equal
+
+    d, spec, _ = small_log
+    tp = str(tmp_path / "t_conc")
+    stop = threading.Event()
+    errors: list[BaseException] = []
+    compactions = [0]
+
+    def maintainer():
+        while not LakeTable.exists(tp) and not stop.is_set():
+            _time.sleep(0.02)
+        while not stop.is_set():
+            try:
+                t = LakeTable(spark, tp)
+                v = t.version
+                t.maybe_compact(max_deltas_per_bucket=1)
+                if t.version != v:
+                    compactions[0] += 1
+            except BaseException as e:  # noqa: BLE001 — surfaced in main thread
+                errors.append(e)
+                return
+            _time.sleep(0.02)
+
+    th = threading.Thread(target=maintainer, daemon=True)
+    th.start()
+    try:
+        out = replay_log(spark, d, tp, schema=TRANSCRIPT_SCHEMA,
+                         batch_offsets=500, n_buckets=8)
+    finally:
+        stop.set()
+        th.join(timeout=60)
+    assert not errors, f"maintainer died: {errors[0]!r}"
+    assert out["events_applied"] == spec.n_events
+    assert compactions[0] > 0, "maintenance never actually interleaved"
+    tbl = LakeTable(spark, tp)
+    assert_final_state_equal(tbl.read(), duckdb_final_state(d))
+    # exactly-once bookkeeping survived the interleaving
+    assert set(tbl.applied_offsets) == set(range(spec.n_partitions))
+
+
+def test_pinned_handle_never_rebases(spark, tmp_path):
+    """Time-travel handles are read-only: they raise immediately instead of
+    joining the retry loop (a pinned snapshot must never silently advance)."""
+    path = str(tmp_path / "t_pin")
+    t1 = _mk_table(spark, path)
+    old = t1.at_version(0)
+    with pytest.raises(CommitConflict, match="read-only"):
+        old.commit_summary({"batch_id": 9})
+    with pytest.raises(CommitConflict, match="read-only"):
+        old.append_delta(_rows(spark, old, [
+            ("r", 0, "user", "x", None, TS, False, 500, 0)]))
+    assert LakeTable(spark, path).version == t1.version

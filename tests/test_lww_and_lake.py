@@ -198,8 +198,12 @@ def test_commit_conflict(spark, tmp_path):
     t1 = LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=4)
     t2 = LakeTable(spark, path)
     t1.commit_summary({"batch_id": 1})
+    # a stale handle loses the O_EXCL race but REBASES (tests/test_commit_race
+    # .py covers the full matrix); only pinned handles refuse outright
+    t2.commit_summary({"batch_id": 2})
+    assert LakeTable(spark, path).version == 2
     with pytest.raises(CommitConflict):
-        t2.commit_summary({"batch_id": 2})  # stale handle loses the race
+        t1.at_version(0).commit_summary({"batch_id": 3})
 
 
 def test_time_travel_history(spark, tmp_path):
