@@ -9,9 +9,9 @@ line:
 
 Headline = the engine's reason to exist: full CDC change-log replay
 (LWW dedup → exactly-once delta commits) with events/sec; plus per-query
-wall times for the analytic operator suite (median of 5 runs, with mins in
-``queries_min``; computed through the noop sink so driver transfer isn't
-measured).
+wall times for the analytic operator suite (2 untimed JIT warmups, then
+median of 5 runs, with mins in ``queries_min``; computed through the noop
+sink so driver transfer isn't measured).
 
 Scaling evidence (north rule, N vs 4N) lives in scripts/bench_scaling.py →
 BENCH/BASELINE.md; this file stays single-config for the driver.
@@ -156,17 +156,26 @@ def main() -> None:
     shutil.rmtree(s_table, ignore_errors=True)
     shutil.rmtree(s_ckpt, ignore_errors=True)
 
-    # ---- analytic queries: MEDIAN of 5 (VERDICT r04 item 4 — best-of-2
-    # produced phantom ±30% swings on this host: the r3→r4 cosine_topk
-    # "regression" was pure sampling noise), noop sink so driver transfer
-    # isn't measured; per-query min published alongside so floors stay
-    # comparable round-over-round
+    # ---- analytic queries: 2 untimed warmups, then MEDIAN of 5 (VERDICT
+    # r04 item 4 — best-of-2 produced phantom ±30% swings on this host),
+    # noop sink so driver transfer isn't measured; per-query min published
+    # alongside so floors stay comparable round-over-round.
+    #
+    # Warmups exist because the first executions of a query pay HotSpot C2
+    # compilation of its whole-stage-codegen kernels, not engine work —
+    # measured rep-by-rep on the largest generated kernel
+    # (simhash_near_dups, 64 packed-vote aggregates): 14.3s, 13.7s, 6.4s,
+    # 4.1s, 3.9s, 3.7s in a fresh JVM. At deployment scale one task of one
+    # partition amortizes JIT to zero, so steady-state is the honest number;
+    # cold-start is a fixed ~10s JVM property, not a per-query property.
     import statistics
 
     qtimes: dict[str, float] = {}
     qmins: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = registry.REGISTRY[name].fn
+        for _ in range(2):
+            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         reps = []
         for _ in range(5):
             t0 = time.monotonic()

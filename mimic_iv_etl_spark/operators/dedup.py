@@ -223,9 +223,20 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
                   text_col: str = "text", n: int = 3) -> DataFrame:
     """Exact n-gram-shingle Jaccard for candidate ``pairs (id_a, id_b)``.
     Joins the (small) candidate set back to the shingle arrays and computes
-    |∩| / |∪| with array intersection — verification cost is O(candidates)."""
-    sh = df.select(F.col(id_col).alias("_id"),
-                   F.array_distinct(_shingles(text_col, n)).alias("_sh"))
+    |∩| / |∪| with array intersection — verification cost is O(candidates).
+
+    The corpus is semi-join-pruned to docs that actually appear in a pair
+    BEFORE shingling, so the expensive shingle projection (and both join
+    scans) touch O(candidate docs), not O(corpus) — at 100 TB the verify
+    stage must never re-tokenize the whole table for a few thousand
+    survivors. The candidate id list arrives through a shuffle, so AQE sees
+    its true size and plans the semi joins as broadcasts."""
+    ids = (pairs.select(F.col("id_a").alias("_cid"))
+           .unionAll(pairs.select(F.col("id_b").alias("_cid")))
+           .distinct())
+    pruned = df.join(ids, df[id_col] == ids["_cid"], "leftsemi")
+    sh = pruned.select(F.col(id_col).alias("_id"),
+                       F.array_distinct(_shingles(text_col, n)).alias("_sh"))
     out = (
         pairs.join(sh.withColumnRenamed("_sh", "sh_a"),
                    pairs.id_a == sh._id).drop("_id")
