@@ -229,6 +229,54 @@ def test_ingest_with_concurrent_maintenance(spark, small_log, tmp_path):
     assert set(tbl.applied_offsets) == set(range(spec.n_partitions))
 
 
+def test_stream_ingest_with_concurrent_maintenance(spark, small_log, tmp_path):
+    """Same interleaving through the STREAMING ingest path (the cdc_ingest
+    deployment shape): foreachBatch MERGE commits race a maintenance thread's
+    compactions; exactly-once micro-batch accounting and the final-state
+    oracle must hold."""
+    import threading
+    import time as _time
+
+    from mimic_iv_etl_spark.cdc.oracle import duckdb_final_state
+    from mimic_iv_etl_spark.cdc.stream import stream_log
+    from tests.util import assert_final_state_equal
+
+    d, spec, _ = small_log
+    tp = str(tmp_path / "t_sconc")
+    stop = threading.Event()
+    errors: list[BaseException] = []
+    compactions = [0]
+
+    def maintainer():
+        while not LakeTable.exists(tp) and not stop.is_set():
+            _time.sleep(0.02)
+        while not stop.is_set():
+            try:
+                t = LakeTable(spark, tp)
+                v = t.version
+                t.maybe_compact(max_deltas_per_bucket=1)
+                if t.version != v:
+                    compactions[0] += 1
+            except BaseException as e:  # noqa: BLE001 — surfaced in main thread
+                errors.append(e)
+                return
+            _time.sleep(0.02)
+
+    th = threading.Thread(target=maintainer, daemon=True)
+    th.start()
+    try:
+        table = stream_log(spark, d, tp, str(tmp_path / "ckpt_sconc"),
+                           schema=TRANSCRIPT_SCHEMA, n_buckets=8,
+                           max_files_per_trigger=1)
+    finally:
+        stop.set()
+        th.join(timeout=60)
+    assert not errors, f"maintainer died: {errors[0]!r}"
+    assert compactions[0] > 0, "maintenance never actually interleaved"
+    assert_final_state_equal(table.read(), duckdb_final_state(d))
+    assert set(table.applied_offsets) == set(range(spec.n_partitions))
+
+
 def test_pinned_handle_never_rebases(spark, tmp_path):
     """Time-travel handles are read-only: they raise immediately instead of
     joining the retry loop (a pinned snapshot must never silently advance)."""
