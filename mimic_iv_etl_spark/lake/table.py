@@ -318,11 +318,23 @@ class LakeTable:
         LWW-reduced per key (skew-proof ``max_by`` partial agg); a selection of
         pure base files skips the reduce entirely — post-compaction reads are
         plain pruned parquet scans."""
-        target = self.internal_schema
         files = self.files
         if buckets is not None:
             files = [e for e in files if e["bucket"] in buckets]
         has_delta = any(e.get("kind", "base") == "delta" for e in files)
+        out = self._assemble(files)
+        if pre_filter is not None:
+            out = out.filter(pre_filter)
+        if has_delta:
+            out = lww_reduce(out, self.key_cols)
+        if internal:
+            return out
+        return out.filter(~F.col("_deleted")).drop(*INTERNAL_COLS)
+
+    def _assemble(self, files: list[dict]) -> DataFrame:
+        """Union the given manifest entries as one scan in the current
+        internal schema (per-written-schema reads aligned/widened to it)."""
+        target = self.internal_schema
         by_schema: dict[str, list[str]] = {}
         for e in files:
             by_schema.setdefault(str(e["schema_id"]), []).append(
@@ -333,19 +345,61 @@ class LakeTable:
             written = _internal_schema(T.StructType.fromJson(self.snapshot["schemas"][sid]))
             df = self.spark.read.schema(written).parquet(*paths)
             parts.append(_align(df, target))
-        if parts:
-            out = parts[0]
-            for p in parts[1:]:
-                out = out.unionByName(p)
-        else:
-            out = self.spark.createDataFrame([], target)
-        if pre_filter is not None:
-            out = out.filter(pre_filter)
-        if has_delta:
-            out = lww_reduce(out, self.key_cols)
+        if not parts:
+            return self.spark.createDataFrame([], target)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def read_range(self, col: str, lo, hi, internal: bool = False) -> DataFrame:
+        """Range scan with metadata-level file skipping: rows with
+        ``lo <= col <= hi``, reading ONLY files whose manifest min/max stats
+        overlap the range (plus the residual predicate, pushed down to the
+        scan so parquet row-group stats skip inside surviving files).
+
+        At 100 TB this is the "turns from last week" analytics path: after a
+        clustered compaction (:meth:`compact` with ``cluster_by=[col]``,
+        ``split=k``) each bucket's data lands as k files with tight,
+        near-disjoint per-file ranges on ``col``, so a narrow range touches
+        O(matching files) — no footer reads, no listing, the pruning happens
+        against snapshot metadata alone.
+
+        Soundness: file skipping is only applied when the table holds NO
+        delta files — a merge-on-read winner depends on every file of its
+        key, so skipping deltas by a non-key range could resurrect
+        overwritten versions. While deltas exist this degrades (correctly)
+        to ``read().filter(...)``: LWW first, range predicate second."""
+        pred = F.col(col).between(F.lit(lo), F.lit(hi))
+        files = self.files
+        if any(e.get("kind", "base") == "delta" for e in files):
+            return self.read(internal=internal).filter(pred)
+        kept = self._prune_by_stats(files, col, lo, hi)
+        out = self._assemble(kept).filter(pred)
         if internal:
             return out
         return out.filter(~F.col("_deleted")).drop(*INTERNAL_COLS)
+
+    @staticmethod
+    def _prune_by_stats(files: list[dict], col: str, lo, hi) -> list[dict]:
+        """Entries whose ``col`` stats overlap [lo, hi]; entries without
+        stats for ``col`` (old manifests, stats-less types) are kept —
+        absence of evidence never skips data."""
+        qlo = lo.isoformat() if hasattr(lo, "isoformat") else lo
+        qhi = hi.isoformat() if hasattr(hi, "isoformat") else hi
+        kept = []
+        for e in files:
+            s = e.get("stats", {}).get(col)
+            if s is None:
+                kept.append(e)
+                continue
+            try:
+                if qhi < s[0] or qlo > s[1]:
+                    continue
+            except TypeError:  # incomparable bound types → conservative keep
+                pass
+            kept.append(e)
+        return kept
 
     def read_keys(self, keys, internal: bool = False) -> DataFrame:
         """Point-lookup read: the current rows of the given bucket-key values
@@ -443,6 +497,7 @@ class LakeTable:
         self, state_df: DataFrame, public: T.StructType, schema_id: int, kind: str,
         write_salt: int = 1, n_buckets: int | None = None,
         pre_partitioned: bool = False,
+        cluster_by: list[str] | None = None, split: int = 1,
     ) -> list[dict]:
         """Write ``state_df`` (internal schema + ``_bucket`` routing column) as
         bucket-partitioned parquet under a staging dir, then move the files
@@ -469,6 +524,19 @@ class LakeTable:
             # BUCKET_COL (e.g. the fused LWW plan) — repartitioning again
             # would re-shuffle every winner byte for an identical layout
             pass
+        elif cluster_by:
+            # clustered layout (compaction's data-skipping path): range-
+            # partition on (bucket, cluster cols) — each task holds one
+            # contiguous cluster-key range of (mostly) one bucket, so with
+            # split > 1 a bucket lands as several files with TIGHT,
+            # near-disjoint per-file min/max on the cluster columns (recorded
+            # in the manifest entry → metadata-level file skipping), and the
+            # within-partition sort makes parquet row-group stats monotone →
+            # pushed-down range predicates skip row groups inside each file.
+            parts = n_buckets * max(1, split)
+            aligned = aligned.repartitionByRange(
+                parts, F.col(BUCKET_COL), *[F.col(c) for c in cluster_by]
+            ).sortWithinPartitions(BUCKET_COL, *cluster_by)
         elif write_salt > 1:
             salt_col = F.pmod(
                 F.xxhash64(*[F.col(c) for c in self.key_cols]), F.lit(write_salt)
@@ -512,6 +580,7 @@ class LakeTable:
                     "kind": kind,
                     "rows": md.num_rows,
                     "has_tombstones": _has_tombstones(md),
+                    "stats": _entry_stats(md),
                 }
 
             if len(moves) <= 4:
@@ -726,6 +795,8 @@ class LakeTable:
         touched_buckets: set[int],
         new_schema: T.StructType | None = None,
         summary: dict | None = None,
+        cluster_by: list[str] | None = None,
+        split: int = 1,
     ) -> "LakeTable":
         """Copy-on-write commit: replace every file of ``touched_buckets`` with
         the rows of ``state_df`` as base files; untouched buckets keep their
@@ -743,27 +814,40 @@ class LakeTable:
             e["path"] for e in self.files if e["bucket"] in touched_buckets
         }
         public, schema_id, schemas = self._next_schema(new_schema)
-        entries = self._stage_write(state_df, public, schema_id, "base")
+        entries = self._stage_write(state_df, public, schema_id, "base",
+                                    cluster_by=cluster_by, split=split)
         out = self._commit(self._kept_manifests(replaced), entries,
                            schema_id, schemas, summary, "overwrite_buckets",
                            rebase=lambda: self._kept_manifests(replaced))
         self.last_new_entries = entries
         return out
 
-    def compact(self, buckets: set[int] | None = None) -> "LakeTable":
+    def compact(self, buckets: set[int] | None = None,
+                cluster_by: list[str] | None = None,
+                split: int = 1) -> "LakeTable":
         """Fold delta files into fresh base files (one LWW-reduced row per key).
         Tombstones are retained — they guard against late, older updates
-        resurrecting deleted keys; drop them with :meth:`expire_tombstones`."""
+        resurrecting deleted keys; drop them with :meth:`expire_tombstones`.
+
+        ``cluster_by`` sorts each bucket's rows by the given columns and
+        ``split`` range-splits each bucket into that many files with tight
+        per-file min/max stats (recorded in the manifest) — the layout
+        :meth:`read_range` skips against. A clustering compaction targets
+        EVERY bucket holding files (not just delta-bearing ones), so it also
+        re-clusters an already-compacted table."""
         delta_buckets = {
             e["bucket"] for e in self.files if e.get("kind", "base") == "delta"
         }
-        target = delta_buckets if buckets is None else (delta_buckets & buckets)
+        pool = ({e["bucket"] for e in self.files} if cluster_by
+                else delta_buckets)
+        target = pool if buckets is None else (pool & buckets)
         if not target:
             return self
         state = self.read(buckets=target, internal=True).withColumn(
             BUCKET_COL, self.bucket_expr()
         )
-        return self.overwrite_buckets(state, target)
+        return self.overwrite_buckets(state, target,
+                                      cluster_by=cluster_by, split=split)
 
     def rebucket(self, n_buckets: int) -> "LakeTable":
         """Partition evolution: rewrite the table into ``n_buckets`` hash
@@ -906,6 +990,41 @@ class LakeTable:
                     raise
                 self.refresh()
         raise AssertionError("unreachable")
+
+
+def _entry_stats(md) -> dict:
+    """Per-file column min/max from parquet row-group statistics (footer
+    metadata we already hold for the tombstone probe — no data IO), JSON-
+    canonicalized for the manifest entry: timestamps → ISO-8601 strings
+    (zero-padded, so lexicographic order == chronological), ints/floats/strs
+    as-is; bytes/bool/nested skipped. Parquet statistics are BOUNDS (writers
+    may truncate long binary values conservatively), so pruning with them is
+    sound but never assumed exact. Columns whose stats are absent are simply
+    missing from the dict — readers must treat that as "may contain
+    anything"."""
+    out: dict[str, list] = {}
+    names = md.schema.names
+    for i, name in enumerate(names):
+        if name.startswith("_"):
+            continue  # internal stamp/flag columns: never a user predicate
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(i).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes) or isinstance(mn, bool):
+                ok = False
+                break
+            if hasattr(mn, "isoformat"):
+                mn, mx = mn.isoformat(), mx.isoformat()
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            out[name] = [lo, hi]
+    return out
 
 
 def _has_tombstones(md) -> bool:
