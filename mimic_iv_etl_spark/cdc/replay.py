@@ -37,7 +37,7 @@ from pyspark.sql import functions as F
 from mimic_iv_etl_spark.cdc.apply import apply_batch
 from mimic_iv_etl_spark.cdc.metrics import flush_sidecars
 from mimic_iv_etl_spark.cdc.profiling import phase
-from mimic_iv_etl_spark.lake.table import LakeTable
+from mimic_iv_etl_spark.lake.table import CommitConflict, LakeTable
 
 
 def _tranche_dirs(log_dir: str) -> list[str]:
@@ -180,6 +180,7 @@ def replay_log(
     total_applied = 0
     n_batches = 0
     n_skipped_windows = 0
+    n_layout_retries = 0
     batch_seq = 0
     t0 = time.monotonic()
 
@@ -242,14 +243,29 @@ def replay_log(
             mode = dedup_mode
             if mode == "auto":
                 mode = "locator" if window_ranges else "agg"
-            stats = apply_batch(table, batch, batch_id=batch_seq,
-                                dedup_mode=mode, write_salt=write_salt,
-                                decode_payload=late_decode,
-                                normalize=normalize and late_decode,
-                                source_partitions=pids,
-                                manifest_ranges=window_ranges,
-                                validate_manifest=validate_manifest,
-                                log_tail=log_tail)
+            def _apply_once():
+                return apply_batch(table, batch, batch_id=batch_seq,
+                                   dedup_mode=mode, write_salt=write_salt,
+                                   decode_payload=late_decode,
+                                   normalize=normalize and late_decode,
+                                   source_partitions=pids,
+                                   manifest_ranges=window_ranges,
+                                   validate_manifest=validate_manifest,
+                                   log_tail=log_tail)
+
+            try:
+                stats = _apply_once()
+            except CommitConflict:
+                # online partition/schema evolution: a concurrent writer
+                # changed the table layout mid-batch, so the staged winners
+                # were bucketed with a stale layout and the commit rebase
+                # refused them. Offsets only commit on success, so re-running
+                # the batch against the refreshed handle is idempotent — the
+                # winners re-stage with the NEW bucket function and ingest
+                # continues with zero downtime (one batch's work re-paid).
+                table.refresh()
+                n_layout_retries += 1
+                stats = _apply_once()
             batch_seq += 1
             total_applied += stats["events_applied"]
             if stats["skipped"]:
@@ -274,6 +290,7 @@ def replay_log(
         "events_applied": total_applied,
         "batches": n_batches,
         "skipped_windows": n_skipped_windows,
+        "layout_retries": n_layout_retries,
         "seconds": secs,
         "events_per_sec": total_applied / secs if secs > 0 else 0.0,
         "snapshot_version": table.version,

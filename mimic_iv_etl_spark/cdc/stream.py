@@ -22,7 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import SparkSession
 
 from mimic_iv_etl_spark.cdc.apply import apply_batch
-from mimic_iv_etl_spark.lake.table import LakeTable
+from mimic_iv_etl_spark.lake.table import CommitConflict, LakeTable
 
 
 def _tranche_file_offsets(tranche_dir: str) -> dict[str, dict[int, tuple[int, int]]] | None:
@@ -162,13 +162,25 @@ def stream_tranche(
         mode = dedup_mode
         if mode == "auto":
             mode = "locator" if ranges else "agg"
-        stats = apply_batch(table, batch_df, batch_id=epoch_id,
-                            dedup_mode=mode,
-                            decode_payload=late_decode,
-                            normalize=normalize,
-                            source_partitions=pids,
-                            manifest_ranges=ranges,
-                            log_tail=log_tail)
+        def _apply_once():
+            return apply_batch(table, batch_df, batch_id=epoch_id,
+                               dedup_mode=mode,
+                               decode_payload=late_decode,
+                               normalize=normalize,
+                               source_partitions=pids,
+                               manifest_ranges=ranges,
+                               log_tail=log_tail)
+
+        try:
+            stats = _apply_once()
+        except CommitConflict:
+            # online layout evolution under live ingest (mirrors replay_log):
+            # a concurrent rebucket made the staged winners' bucket routing
+            # stale; offsets only commit on success, so refreshing and
+            # re-applying the micro-batch is idempotent and the stream
+            # continues against the new layout.
+            table.refresh()
+            stats = _apply_once()
         if on_batch is not None:
             on_batch(epoch_id, stats)
 

@@ -277,6 +277,58 @@ def test_stream_ingest_with_concurrent_maintenance(spark, small_log, tmp_path):
     assert set(table.applied_offsets) == set(range(spec.n_partitions))
 
 
+def test_online_rebucket_under_live_ingest(spark, small_log, tmp_path):
+    """Partition evolution with ZERO ingest downtime: a separate handle
+    rebuckets the table WHILE the CDC replay runs. The in-flight batch's
+    winners were routed with the old bucket function, so its commit hits the
+    rebase layout guard; the replay loop refreshes and re-applies the batch
+    against the new layout (offsets only commit on success → idempotent).
+    Final state must be oracle-exact on the new bucket count."""
+    import threading
+    import time as _time
+
+    from mimic_iv_etl_spark.cdc.oracle import duckdb_final_state
+    from mimic_iv_etl_spark.cdc.replay import replay_log
+    from tests.util import assert_final_state_equal
+
+    d, spec, _ = small_log
+    tp = str(tmp_path / "t_rebkt")
+    errors: list[BaseException] = []
+    rebucketed = threading.Event()
+
+    def evolver():
+        # wait until the replay has committed a couple of batches, then
+        # change the layout out from under its (now stale) handle
+        while True:
+            if LakeTable.exists(tp) and LakeTable(spark, tp).version >= 2:
+                break
+            _time.sleep(0.01)
+        while True:
+            try:
+                LakeTable(spark, tp).rebucket(16)
+                rebucketed.set()
+                return
+            except CommitConflict:
+                continue  # lost a snapshot race to an ingest commit: re-plan
+            except BaseException as e:  # noqa: BLE001
+                errors.append(e)
+                return
+
+    th = threading.Thread(target=evolver, daemon=True)
+    th.start()
+    out = replay_log(spark, d, tp, schema=TRANSCRIPT_SCHEMA,
+                     batch_offsets=250, n_buckets=4)
+    th.join(timeout=120)
+    assert not errors, f"evolver died: {errors[0]!r}"
+    assert rebucketed.is_set(), "rebucket never happened"
+    assert out["events_applied"] == spec.n_events
+    assert out["layout_retries"] >= 1, "no batch ever hit the layout guard"
+    tbl = LakeTable(spark, tp)
+    assert tbl.n_buckets == 16
+    assert_final_state_equal(tbl.read(), duckdb_final_state(d))
+    assert set(tbl.applied_offsets) == set(range(spec.n_partitions))
+
+
 def test_pinned_handle_never_rebases(spark, tmp_path):
     """Time-travel handles are read-only: they raise immediately instead of
     joining the retry loop (a pinned snapshot must never silently advance)."""
