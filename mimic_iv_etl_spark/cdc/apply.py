@@ -64,6 +64,29 @@ META_COLS = ("op", "offset", "partition", "payload")
 # a win over a broadcast-join filter (expression size, codegen limits)
 _HWM_PREDICATE_CAP = 64
 
+_OBS_LOCK_GUARD = __import__("threading").Lock()
+
+
+def _obs_session_lock(spark):
+    """Per-SparkSession mutex serializing the Observation-bearing section of
+    a batch (observe → write job → get → scrub). The Spark 4.1.x scrub
+    (session.scrub_observation_manager) tears down the session-global
+    ObservationManager, so a concurrent applier's pending ``Observation.get``
+    on the SAME session would block forever once another batch scrubs
+    (measured: multi-source fan-in deadlock). Sessions are the isolation
+    unit — ``spark.newSession()`` has its own ObservationManager, so giving
+    each ingest stream its own session keeps fan-in fully parallel; sharing
+    one session serializes the observed region (correct, alternating
+    batches)."""
+    import threading
+
+    with _OBS_LOCK_GUARD:
+        lk = getattr(spark, "_cdc_obs_lock", None)
+        if lk is None:
+            lk = threading.Lock()
+            spark._cdc_obs_lock = lk
+        return lk
+
 
 def _locator_supported(ranges: list[dict]) -> bool:
     """Whether the packed-stamp locator kernel's bit budget covers this
@@ -382,6 +405,7 @@ def apply_batch(
         return stats
 
     obs = None
+    obs_lock = None  # held from observe() through the post-commit scrub
     ranges: list[dict] | None = None
     events_applied: int | None = None
     new_applied: dict[str, int] | None = None
@@ -452,6 +476,8 @@ def apply_batch(
                      & (F.col("offset") >= F.col("_rlo"))
                      & (F.col("offset") <= F.col("_rhi")))
             drop_rng = ("_rlo", "_rhi")
+        obs_lock = _obs_session_lock(spark)
+        obs_lock.acquire()
         obs_val = Observation(f"validate_manifest_{uuid.uuid4().hex[:8]}")
         fresh = fresh.observe(
             obs_val,
@@ -469,6 +495,8 @@ def apply_batch(
 
         from pyspark.sql import Observation
 
+        obs_lock = _obs_session_lock(spark)
+        obs_lock.acquire()
         obs = Observation(f"apply_ranges_{uuid.uuid4().hex[:8]}")
         # NULL partitions must count as unknown too: `~isin` alone evaluates
         # to NULL for them, silently exempting such rows from the guard
@@ -656,11 +684,15 @@ def apply_batch(
     finally:
         if locator_cleanup is not None:
             locator_cleanup()
-        if obs is not None or obs_val is not None:
-            from mimic_iv_etl_spark.session import scrub_observation_manager
+        try:
+            if obs is not None or obs_val is not None:
+                from mimic_iv_etl_spark.session import scrub_observation_manager
 
-            with phase("observation_scrub"):
-                scrub_observation_manager(spark)
+                with phase("observation_scrub"):
+                    scrub_observation_manager(spark)
+        finally:
+            if obs_lock is not None:
+                obs_lock.release()
     if cached is not None:
         cached.unpersist()
 

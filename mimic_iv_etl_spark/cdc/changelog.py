@@ -51,6 +51,8 @@ class ChangeLogSpec:
     payload: bool = True           # emit JSON payload column (decode-UDF path)
     evolve_at: float | None = None  # fraction of log after which F3 columns appear
     files_per_tranche: int = 4     # parquet files per tranche (stream source granularity)
+    partition_base: int = 0        # first source-partition id (multi-source fan-in:
+                                   # each stream owns a disjoint id range)
     long_text_every: int = 997     # 1/N events get a >=16KB text (FIXTURES F1 tail case)
     compression: str = "zstd"      # the standard lake codec; real change logs ship compressed
 
@@ -116,9 +118,11 @@ def generate_change_log(out_dir: str, spec: ChangeLogSpec | None = None) -> dict
     role_out = np.where((ops == "D") & (rng.random(n) < 0.5), None, role)
 
     # --- source partition + per-partition offsets (arrival order) ---
-    partition = ((conv_idx * np.int64(2654435761)) % spec.n_partitions).astype(np.int32)
+    partition = (spec.partition_base + (
+        (conv_idx * np.int64(2654435761)) % spec.n_partitions)).astype(np.int32)
     offset = np.zeros(n, dtype=np.int64)
-    for p in range(spec.n_partitions):
+    for p in range(spec.partition_base,
+                   spec.partition_base + spec.n_partitions):
         m = partition == p
         offset[m] = np.arange(int(m.sum()), dtype=np.int64)
 

@@ -691,8 +691,7 @@ class LakeTable:
                 for m in all_m:
                     merged.extend(_load_manifest(self._meta_dir, m))
                 all_m = [_write_manifest(self._meta_dir, merged)]
-            new_summary = dict(self.summary)
-            new_summary.update(summary or {})
+            new_summary = _merge_summary(self.summary, summary)
             new_summary["operation"] = operation
             snap = {
                 "version": self.version + 1,
@@ -752,10 +751,13 @@ class LakeTable:
         Concurrent-writer safe: an append that loses the snapshot race to a
         maintenance commit (compaction, tombstone expiry) rebases onto the
         winner — appends are always rebaseable while the table layout is
-        unchanged, so a streaming ingest never stops for maintenance. (Two
-        concurrent INGEST writers are a different topology: the
-        ``applied_offsets`` exactly-once bookkeeping is a single logical
-        stream's high-water marks, so one table takes one change stream.)"""
+        unchanged, so a streaming ingest never stops for maintenance.
+        Concurrent INGEST writers (multi-source fan-in) are also sound when
+        each stream owns a DISJOINT set of source-partition ids: the summary
+        merge takes the per-partition max of ``applied_offsets``
+        (:func:`_merge_summary`), so a stale loser never regresses another
+        stream's high-water marks. Two streams sharing a partition id remain
+        unsupported — they would interleave one offset sequence."""
         out = self._commit(
             self._base_manifests(), entries, schema_id, schemas, summary,
             "append_delta", rebase=self._base_manifests,
@@ -979,9 +981,7 @@ class LakeTable:
             snap["version"] = self.version + 1
             snap["parent"] = self.version
             snap["created_ms"] = int(time.time() * 1000)
-            new_summary = dict(self.summary)
-            new_summary.update(summary)
-            snap["summary"] = new_summary
+            snap["summary"] = _merge_summary(self.summary, summary)
             try:
                 _write_snapshot(self._meta_dir, snap)
                 return self.refresh()
@@ -990,6 +990,31 @@ class LakeTable:
                     raise
                 self.refresh()
         raise AssertionError("unreachable")
+
+
+def _merge_summary(current: dict, update: dict | None) -> dict:
+    """Commit-summary merge: plain keys overwrite, but ``applied_offsets``
+    merges per-partition with max. This is what makes MULTI-SOURCE fan-in
+    sound: each change stream owns a disjoint set of source-partition ids
+    and commits the high-water marks it advanced; when its commit rebases
+    onto a concurrent commit from another stream, a wholesale overwrite
+    would REGRESS the other stream's marks (stale view) and re-apply its
+    events on restart. Per-partition max is exact for disjoint owners, and
+    monotone-safe even for a shared partition (offsets are applied in
+    order, so the larger mark is always the true high-water mark)."""
+    out = dict(current)
+    if not update:
+        return out
+    for k, v in update.items():
+        if k == "applied_offsets" and isinstance(v, dict):
+            merged_off = dict(out.get("applied_offsets") or {})
+            for p, o in v.items():
+                prev = merged_off.get(p)
+                merged_off[p] = o if prev is None else max(int(prev), int(o))
+            out[k] = merged_off
+        else:
+            out[k] = v
+    return out
 
 
 def _entry_stats(md) -> dict:

@@ -329,6 +329,65 @@ def test_online_rebucket_under_live_ingest(spark, small_log, tmp_path):
     assert set(tbl.applied_offsets) == set(range(spec.n_partitions))
 
 
+def test_multi_source_fan_in(spark, tmp_path):
+    """Two change streams with DISJOINT source-partition id ranges ingest
+    into one table concurrently (Kafka-style fan-in: each stream owns its
+    partitions' high-water marks). Commit races rebase, and the summary
+    merge takes the per-partition MAX of applied_offsets — a wholesale
+    overwrite from a stale view would regress the other stream's marks and
+    re-apply its events on restart. Final state must equal the LWW oracle
+    over the UNION of both logs (overlapping conv ids resolved by the
+    global (ts, offset, partition) total order)."""
+    import os
+    import threading
+
+    from mimic_iv_etl_spark.cdc.changelog import ChangeLogSpec, generate_change_log
+    from mimic_iv_etl_spark.cdc.oracle import duckdb_final_state
+    from mimic_iv_etl_spark.cdc.replay import replay_log
+    from tests.util import assert_final_state_equal
+
+    la, lb = str(tmp_path / "logA"), str(tmp_path / "logB")
+    generate_change_log(la, ChangeLogSpec(n_events=4_000, n_convs=200,
+                                          n_partitions=4, seed=11))
+    generate_change_log(lb, ChangeLogSpec(n_events=4_000, n_convs=200,
+                                          n_partitions=4, seed=22,
+                                          partition_base=4))
+    tp = str(tmp_path / "t_fanin")
+    LakeTable.create(spark, tp, TRANSCRIPT_SCHEMA, n_buckets=8)
+
+    results: dict[str, dict] = {}
+    errors: list[BaseException] = []
+
+    def ingest(name: str, log_dir: str):
+        try:
+            results[name] = replay_log(spark, log_dir, tp,
+                                       schema=TRANSCRIPT_SCHEMA,
+                                       batch_offsets=300)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = [threading.Thread(target=ingest, args=("a", la), daemon=True),
+               threading.Thread(target=ingest, args=("b", lb), daemon=True)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=300)
+    assert not errors, f"ingest died: {errors[0]!r}"
+    assert results["a"]["events_applied"] == 4_000
+    assert results["b"]["events_applied"] == 4_000
+
+    # combined oracle: one view over both logs' tranches
+    both = str(tmp_path / "log_union")
+    os.makedirs(both)
+    os.symlink(os.path.join(la, "tranche-0"), os.path.join(both, "tranche-0"))
+    os.symlink(os.path.join(lb, "tranche-0"), os.path.join(both, "tranche-1"))
+
+    tbl = LakeTable(spark, tp)
+    assert_final_state_equal(tbl.read(), duckdb_final_state(both))
+    # both streams' high-water marks survived every commit race
+    assert set(tbl.applied_offsets) == set(range(8))
+
+
 def test_pinned_handle_never_rebases(spark, tmp_path):
     """Time-travel handles are read-only: they raise immediately instead of
     joining the retry loop (a pinned snapshot must never silently advance)."""
