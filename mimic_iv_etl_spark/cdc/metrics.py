@@ -50,9 +50,10 @@ METRICS_SCHEMA = T.StructType(
 
 def _append_jsonl(path: str, rows: list[dict]) -> None:
     os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = "".join(json.dumps(r) + "\n" for r in rows)
     with open(path, "a") as f:
-        for r in rows:
-            f.write(json.dumps(r) + "\n")
+        f.write(payload)  # one write call: O_APPEND keeps concurrent
+        # appenders' lines whole (multi-source fan-in has one per stream)
 
 
 def append_lineage(table_path: str, rows: list[dict]) -> None:
@@ -88,22 +89,65 @@ def _read_sidecar(spark, table_path, dirname, stem, schema) -> DataFrame:
     return out
 
 
+_ARROW_TYPES = {
+    "long": "int64", "integer": "int32", "double": "float64",
+    "boolean": "bool_", "string": "string",
+}
+
+
+def _arrow_schema(schema: T.StructType):
+    import pyarrow as pa
+
+    return pa.schema([
+        (f.name, getattr(pa, _ARROW_TYPES[f.dataType.typeName()])())
+        for f in schema.fields
+    ])
+
+
 def flush_sidecars(spark: SparkSession, table_path: str) -> None:
     """Maintenance: fold the driver-local JSONL tails into parquet segments
-    under ``<sidecar>/flushed/`` written through Spark's FS layer — the
-    cluster-durable "table sink" for lineage/metrics (VERDICT r01 scale note:
-    per-batch ``open(...,'a')`` is driver-local by design to keep the apply
-    hot path free of extra Spark jobs; this amortizes durability to one tiny
-    job per flush). Safe to run any time; reads see the union of flushed
-    segments and the live tail."""
+    under ``<sidecar>/flushed/`` — the cluster-durable "table sink" for
+    lineage/metrics (VERDICT r01 scale note: per-batch ``open(...,'a')`` is
+    driver-local by design to keep the apply hot path free of extra Spark
+    jobs). The fold itself is also driver-side (pyarrow): the tail is
+    driver-local bytes, so shipping it through a Spark write job bought
+    nothing and cost a job per flush. Safe to run any time, from ANY number
+    of concurrent flushers (multi-source fan-in runs one per stream): each
+    flusher claims the tail with a unique rename, writes a uniquely-named
+    segment atomically (tmp + rename — no shared ``_temporary`` dir to
+    race on), and sweeps crash-leftover claims. Reads see the union of
+    flushed segments and the live tail; ``spark`` is unused (kept for API
+    stability)."""
+    import glob as _glob
+    import uuid
+
+    import pyarrow as pa
+    import pyarrow.parquet as papq
+
     for dirname, stem, schema in (("_lineage", "lineage", LINEAGE_SCHEMA),
                                   ("_metrics", "metrics", METRICS_SCHEMA)):
-        jsonl = os.path.join(table_path, dirname, f"{stem}.jsonl")
-        if not os.path.exists(jsonl):
-            continue
-        pending = jsonl + ".flushing"
-        os.replace(jsonl, pending)  # new rows start a fresh tail immediately
-        (spark.read.schema(schema).json(pending)
-         .coalesce(1).write.mode("append")
-         .parquet(os.path.join(table_path, dirname, "flushed")))
-        os.remove(pending)
+        side = os.path.join(table_path, dirname)
+        jsonl = os.path.join(side, f"{stem}.jsonl")
+        todo = _glob.glob(jsonl + ".flushing-*")  # crash-leftover claims
+        if os.path.exists(jsonl):
+            todo.append(jsonl)
+        for tail in todo:
+            claim = jsonl + f".flushing-{uuid.uuid4().hex}"
+            try:
+                os.replace(tail, claim)  # exactly one flusher wins this tail
+            except FileNotFoundError:
+                continue
+            with open(claim) as f:
+                rows = [json.loads(line) for line in f if line.strip()]
+            if rows:
+                tbl = pa.Table.from_pylist(rows, schema=_arrow_schema(schema))
+                flushed = os.path.join(side, "flushed")
+                os.makedirs(flushed, exist_ok=True)
+                hexid = uuid.uuid4().hex
+                seg = os.path.join(flushed, f"seg-{hexid}.parquet")
+                # dot-prefix: Spark's scan ignores hidden files, so a reader
+                # never sees the half-written temp
+                tmp = os.path.join(flushed, f".seg-{hexid}.tmp")
+                papq.write_table(tbl, tmp)
+                os.replace(tmp, seg)
+            os.remove(claim)

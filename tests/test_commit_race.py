@@ -329,7 +329,8 @@ def test_online_rebucket_under_live_ingest(spark, small_log, tmp_path):
     assert set(tbl.applied_offsets) == set(range(spec.n_partitions))
 
 
-def test_multi_source_fan_in(spark, tmp_path):
+@pytest.mark.parametrize("topology", ["shared_session", "session_per_stream"])
+def test_multi_source_fan_in(spark, tmp_path, topology):
     """Two change streams with DISJOINT source-partition id ranges ingest
     into one table concurrently (Kafka-style fan-in: each stream owns its
     partitions' high-water marks). Commit races rebase, and the summary
@@ -337,7 +338,12 @@ def test_multi_source_fan_in(spark, tmp_path):
     overwrite from a stale view would regress the other stream's marks and
     re-apply its events on restart. Final state must equal the LWW oracle
     over the UNION of both logs (overlapping conv ids resolved by the
-    global (ts, offset, partition) total order)."""
+    global (ts, offset, partition) total order).
+
+    Both deployment topologies: a SHARED SparkSession (the per-session
+    observation lock serializes the observe→scrub window; batches alternate)
+    and a session PER STREAM (isolated ObservationManagers — the fully
+    parallel shape; also how separate driver processes would behave)."""
     import os
     import threading
 
@@ -357,10 +363,13 @@ def test_multi_source_fan_in(spark, tmp_path):
 
     results: dict[str, dict] = {}
     errors: list[BaseException] = []
+    sessions = {"a": spark, "b": spark}
+    if topology == "session_per_stream":
+        sessions = {"a": spark.newSession(), "b": spark.newSession()}
 
     def ingest(name: str, log_dir: str):
         try:
-            results[name] = replay_log(spark, log_dir, tp,
+            results[name] = replay_log(sessions[name], log_dir, tp,
                                        schema=TRANSCRIPT_SCHEMA,
                                        batch_offsets=300)
         except BaseException as e:  # noqa: BLE001
