@@ -758,10 +758,17 @@ class LakeTable:
         (:func:`_merge_summary`), so a stale loser never regresses another
         stream's high-water marks. Two streams sharing a partition id remain
         unsupported — they would interleave one offset sequence."""
-        out = self._commit(
-            self._base_manifests(), entries, schema_id, schemas, summary,
-            "append_delta", rebase=self._base_manifests,
-        )
+        try:
+            out = self._commit(
+                self._base_manifests(), entries, schema_id, schemas, summary,
+                "append_delta", rebase=self._base_manifests,
+            )
+        except CommitConflict:
+            # unrebaseable (layout change / retries exhausted): the staged
+            # files will never be referenced — reclaim now instead of
+            # waiting for vacuum's grace window
+            self.discard_staged(entries)
+            raise
         self.last_new_entries = entries
         return out
 
@@ -818,9 +825,14 @@ class LakeTable:
         public, schema_id, schemas = self._next_schema(new_schema)
         entries = self._stage_write(state_df, public, schema_id, "base",
                                     cluster_by=cluster_by, split=split)
-        out = self._commit(self._kept_manifests(replaced), entries,
-                           schema_id, schemas, summary, "overwrite_buckets",
-                           rebase=lambda: self._kept_manifests(replaced))
+        try:
+            out = self._commit(self._kept_manifests(replaced), entries,
+                               schema_id, schemas, summary,
+                               "overwrite_buckets",
+                               rebase=lambda: self._kept_manifests(replaced))
+        except CommitConflict:
+            self.discard_staged(entries)  # lost rewrite: result is stale
+            raise
         self.last_new_entries = entries
         return out
 

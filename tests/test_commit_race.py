@@ -138,6 +138,22 @@ def test_conflicting_rewrites_abort(spark, tmp_path):
     fresh = LakeTable(spark, path)
     assert fresh.version == v_win  # loser left no snapshot behind
     assert _state(fresh) == _state(t2)
+    # ... and no orphaned data files either: the loser discarded its staged
+    # result instead of leaving it for vacuum's grace window
+    import os
+
+    on_disk = set()
+    data_dir = os.path.join(path, "data")
+    for root, _dirs, fns in os.walk(data_dir):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(root, fn), path))
+    referenced_now = {e["path"] for e in fresh.files}
+    referenced_ever = set()
+    for v in range(fresh.version + 1):
+        referenced_ever |= {e["path"] for e in fresh.at_version(v).files}
+    assert on_disk - referenced_ever == set(), "orphan staged files left"
+    assert referenced_now <= on_disk
 
 
 def test_rebase_guard_rejects_layout_change(spark, tmp_path):
