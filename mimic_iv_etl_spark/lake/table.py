@@ -75,8 +75,19 @@ class CommitConflict(RuntimeError):
 # analogue): a losing writer refreshes, revalidates its commit against the
 # winner's snapshot, and re-points its already-written manifest segment at
 # the new base — the staged DATA files are never rewritten, so a retry costs
-# one metadata round, not a Spark job.
-_MAX_COMMIT_RETRIES = 10
+# one metadata round, not a Spark job. Retries back off with jitter
+# (_commit_backoff): without it, N writers in tight loops stay phase-locked
+# and a loser can exhaust any fixed budget (seen at 5 writers).
+_MAX_COMMIT_RETRIES = 20
+_BACKOFF_BASE_S = 0.02
+_BACKOFF_CAP_S = 1.0
+
+
+def _commit_backoff(attempt: int) -> None:
+    import random
+
+    time.sleep(random.uniform(0, min(_BACKOFF_CAP_S,
+                                     _BACKOFF_BASE_S * (2 ** attempt))))
 
 
 # --------------------------------------------------------------------------
@@ -712,6 +723,7 @@ class LakeTable:
             except CommitConflict:
                 if rebase is None or attempt == _MAX_COMMIT_RETRIES:
                     raise
+                _commit_backoff(attempt)
                 self.refresh()  # load the winner, then replay onto it
                 self._rebase_guard(base_snap)
                 manifests = rebase()
@@ -1000,6 +1012,7 @@ class LakeTable:
             except CommitConflict:
                 if attempt == _MAX_COMMIT_RETRIES:
                     raise
+                _commit_backoff(attempt)
                 self.refresh()
         raise AssertionError("unreachable")
 

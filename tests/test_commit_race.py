@@ -413,6 +413,86 @@ def test_multi_source_fan_in(spark, tmp_path, topology):
     assert set(tbl.applied_offsets) == set(range(8))
 
 
+def test_commit_protocol_chaos(spark, tmp_path):
+    """Stress the whole optimistic-commit protocol at once: three appender
+    threads (disjoint conv-id spaces, their own handles) race two maintenance
+    threads (aggressive compaction; metadata-only summary commits) for many
+    rounds. Whatever interleaving happens, the invariants must hold: no
+    unexpected exceptions, every appended row present exactly once, version
+    history linear (each snapshot's parent is the previous version), and no
+    unreferenced data files left behind."""
+    import os
+    import threading
+
+    path = str(tmp_path / "t_chaos")
+    LakeTable.create(spark, path, TRANSCRIPT_SCHEMA, n_buckets=4)
+    errors: list[BaseException] = []
+    ROUNDS, APPENDERS = 6, 3
+
+    def appender(idx: int):
+        try:
+            t = LakeTable(spark, path)
+            for r in range(ROUNDS):
+                rows = [(f"w{idx}-c{r}-{i}", 0, "user", f"t{idx}.{r}.{i}",
+                         None, TS, False, idx * 10_000 + r * 10 + i, idx)
+                        for i in range(3)]
+                t.append_delta(
+                    _rows(spark, t, rows),
+                    summary={"applied_offsets": {str(idx): r}})
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def compactor():
+        # the single compactor must never hit a terminal conflict (appends
+        # always rebase under it) — any exception is a protocol bug
+        try:
+            for _ in range(ROUNDS * 2):
+                LakeTable(spark, path).maybe_compact(max_deltas_per_bucket=1)
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    def summarizer():
+        try:
+            for i in range(ROUNDS * 3):
+                LakeTable(spark, path).commit_summary({"audit_tick": i})
+        except BaseException as e:  # noqa: BLE001
+            errors.append(e)
+
+    threads = ([threading.Thread(target=appender, args=(i,), daemon=True)
+                for i in range(APPENDERS)]
+               + [threading.Thread(target=compactor, daemon=True),
+                  threading.Thread(target=summarizer, daemon=True)])
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+    assert not errors, f"thread died: {errors[0]!r}"
+
+    tbl = LakeTable(spark, path)
+    got = {(r["conv_id"], r["text"]) for r in tbl.read().collect()}
+    want = {(f"w{idx}-c{r}-{i}", f"t{idx}.{r}.{i}")
+            for idx in range(APPENDERS) for r in range(ROUNDS)
+            for i in range(3)}
+    assert got == want
+    # every appender's high-water mark survived every race
+    assert {int(p): o for p, o in tbl.applied_offsets.items()} == {
+        i: ROUNDS - 1 for i in range(APPENDERS)}
+    # linear history: each snapshot's parent is exactly the version below it
+    for v in range(1, tbl.version + 1):
+        assert tbl.at_version(v).snapshot["parent"] == v - 1
+    # no unreferenced data files (nothing aborted; compaction replaced files
+    # stay referenced by OLD snapshots until expire+vacuum)
+    referenced_ever = set()
+    for v in range(tbl.version + 1):
+        referenced_ever |= {e["path"] for e in tbl.at_version(v).files}
+    on_disk = set()
+    for root, _dirs, fns in os.walk(os.path.join(path, "data")):
+        for fn in fns:
+            if fn.endswith(".parquet"):
+                on_disk.add(os.path.relpath(os.path.join(root, fn), path))
+    assert on_disk == referenced_ever
+
+
 def test_pinned_handle_never_rebases(spark, tmp_path):
     """Time-travel handles are read-only: they raise immediately instead of
     joining the retry loop (a pinned snapshot must never silently advance)."""
