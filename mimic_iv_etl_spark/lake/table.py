@@ -210,10 +210,33 @@ class LakeTable:
         return cls(spark, path)
 
     def refresh(self) -> "LakeTable":
+        """Load the current snapshot. ``version-hint.txt`` is a HINT, not
+        the commit point (the v{N}.json O_EXCL create is): a crash between
+        snapshot fsync and hint replace leaves the hint one behind, and
+        trusting it would wedge every later commit in O_EXCL conflicts on
+        the already-committed version. So probe forward from the hint —
+        one extra stat per refresh in the common case, and the next
+        successful commit repairs the hint."""
         hint = os.path.join(self._meta_dir, "version-hint.txt")
         with open(hint) as f:
-            version = int(f.read().strip())
-        with open(os.path.join(self._meta_dir, f"v{version}.json")) as f:
+            hinted = int(f.read().strip())
+        version = hinted
+        while os.path.exists(os.path.join(self._meta_dir,
+                                          f"v{version + 1}.json")):
+            version += 1
+        while version > hinted:
+            # a probed-forward file may be a concurrent writer's in-flight
+            # creation (exists before its fsync completes) — fall back to
+            # the newest fully-parseable snapshot; the hinted one always
+            # parses (it was fsynced before the hint moved)
+            try:
+                with open(os.path.join(self._meta_dir,
+                                       f"v{version}.json")) as f:
+                    self.snapshot = json.load(f)
+                return self
+            except (json.JSONDecodeError, FileNotFoundError):
+                version -= 1
+        with open(os.path.join(self._meta_dir, f"v{hinted}.json")) as f:
             self.snapshot = json.load(f)
         return self
 
@@ -1107,11 +1130,34 @@ def _align(df: DataFrame, target: T.StructType) -> DataFrame:
     return df.select(*cols)
 
 
+# age beyond which an UNPARSEABLE snapshot file is judged a dead writer's
+# torn create (crash between O_EXCL open and fsync) rather than a concurrent
+# writer mid-fsync; generous vs the ms-scale write of a KB-scale JSON
+_TORN_SNAPSHOT_GRACE_S = 60.0
+
+
 def _write_snapshot(meta_dir: str, snap: dict) -> None:
     path = os.path.join(meta_dir, f"v{snap['version']}.json")
     try:
         fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
     except FileExistsError as e:
+        # Torn-snapshot recovery: a writer that died between the O_EXCL
+        # create and the fsync leaves a file that will NEVER parse — without
+        # this, every future commit conflicts on it and the chain wedges
+        # permanently. Quarantine the corpse (unparseable AND old) and take
+        # the slot; a concurrent healthy writer mid-fsync is younger than
+        # the grace and stays a plain conflict.
+        try:
+            with open(path) as f:
+                json.load(f)
+        except (json.JSONDecodeError, FileNotFoundError):
+            try:
+                age = time.time() - os.path.getmtime(path)
+                if age > _TORN_SNAPSHOT_GRACE_S:
+                    os.replace(path, path + f".corrupt-{uuid.uuid4().hex}")
+                    return _write_snapshot(meta_dir, snap)
+            except FileNotFoundError:
+                return _write_snapshot(meta_dir, snap)  # another writer healed it
         raise CommitConflict(f"snapshot v{snap['version']} already exists") from e
     with os.fdopen(fd, "w") as f:
         json.dump(snap, f)
