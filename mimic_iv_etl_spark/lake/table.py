@@ -981,11 +981,22 @@ class LakeTable:
         live_manifests: set[str] = set()
         for fn in os.listdir(self._meta_dir):
             if fn.startswith("v") and fn.endswith(".json"):
-                with open(os.path.join(self._meta_dir, fn)) as f:
-                    snap = json.load(f)
+                try:
+                    with open(os.path.join(self._meta_dir, fn)) as f:
+                        snap = json.load(f)
+                except json.JSONDecodeError:
+                    # a torn snapshot (dead writer, not yet quarantined by
+                    # the next commit): it never committed — the O_EXCL
+                    # winner is only durable once parseable — so it anchors
+                    # no references; its staged files age out below
+                    continue
                 live_manifests |= set(snap.get("manifests", []))
                 referenced |= {e["path"]
                                for e in _files_of(self._meta_dir, snap)}
+            elif ".json.corrupt-" in fn:
+                p = os.path.join(self._meta_dir, fn)
+                if now - os.path.getmtime(p) >= grace_seconds:
+                    os.remove(p)  # quarantined torn snapshots age out too
         removed = {"data_files": 0, "staging_dirs": 0, "manifests": 0}
         for fn in os.listdir(self._meta_dir):
             if (fn.startswith("m-") and fn.endswith(".json")

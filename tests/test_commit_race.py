@@ -552,6 +552,11 @@ def test_torn_snapshot_recovery(spark, tmp_path):
         _write_snapshot(os.path.join(path, "metadata"),
                         {"version": v + 2})
 
+    # vacuum neither crashes on the live torn file nor keeps old corpses
+    t2.vacuum(grace_seconds=0.0)
+    assert not glob.glob(corpse + ".corrupt-*")
+    os.remove(inflight)
+
 
 def test_pinned_handle_never_rebases(spark, tmp_path):
     """Time-travel handles are read-only: they raise immediately instead of
