@@ -739,6 +739,10 @@ class LakeTable:
                 "manifests": all_m,
                 "summary": new_summary,
             }
+            # table properties ride every commit (persistent clustering spec)
+            for k in ("cluster_by", "cluster_split"):
+                if k in self.snapshot:
+                    snap[k] = self.snapshot[k]
             try:
                 with phase("snapshot_commit"):
                     _write_snapshot(self._meta_dir, snap)
@@ -881,13 +885,20 @@ class LakeTable:
         ``cluster_by`` sorts each bucket's rows by the given columns and
         ``split`` range-splits each bucket into that many files with tight
         per-file min/max stats (recorded in the manifest) — the layout
-        :meth:`read_range` skips against. A clustering compaction targets
-        EVERY bucket holding files (not just delta-bearing ones), so it also
-        re-clusters an already-compacted table."""
+        :meth:`read_range` skips against. An EXPLICIT clustering compaction
+        targets every bucket holding files (not just delta-bearing ones), so
+        it also re-clusters an already-compacted table. When the table
+        carries a persistent spec (:meth:`set_clustering`) and no explicit
+        ``cluster_by`` is given, the spec shapes whatever buckets are being
+        rewritten anyway — amortized incremental re-clustering that keeps
+        auto-compaction O(churned buckets), never O(table)."""
+        explicit = cluster_by is not None
+        if not explicit and self.clustering is not None:
+            cluster_by, split = self.clustering
         delta_buckets = {
             e["bucket"] for e in self.files if e.get("kind", "base") == "delta"
         }
-        pool = ({e["bucket"] for e in self.files} if cluster_by
+        pool = ({e["bucket"] for e in self.files} if explicit
                 else delta_buckets)
         target = pool if buckets is None else (pool & buckets)
         if not target:
@@ -1031,6 +1042,45 @@ class LakeTable:
         """Metadata-only commit (e.g. marking a batch applied with zero rows).
         Nothing is staged, so a lost race simply replays the summary update
         onto the winner's snapshot."""
+        return self._metadata_commit(
+            lambda snap: snap.__setitem__(
+                "summary", _merge_summary(snap["summary"], summary)))
+
+    def set_clustering(self, cluster_by: list[str] | None,
+                       split: int = 4) -> "LakeTable":
+        """Declare the table's persistent clustering spec (Iceberg sort-order
+        analogue): EVERY subsequent compaction — explicit, ``maybe_compact``,
+        or the replay loop's auto-compaction — lays rewritten buckets out
+        sorted by ``cluster_by`` and range-split into ``split`` files with
+        tight per-file stats, so :meth:`read_range` keeps skipping as the
+        table churns instead of de-clustering one compaction at a time.
+        Metadata-only commit; pass ``cluster_by=None`` to clear. Takes
+        effect at the next rewrite (run :meth:`compact` to apply now)."""
+        if cluster_by is not None:
+            missing = [c for c in cluster_by
+                       if c not in {f.name for f in self.schema.fields}]
+            if missing:
+                raise ValueError(f"cluster columns not in schema: {missing}")
+
+        def mutate(snap: dict) -> None:
+            if cluster_by is None:
+                snap.pop("cluster_by", None)
+                snap.pop("cluster_split", None)
+            else:
+                snap["cluster_by"] = list(cluster_by)
+                snap["cluster_split"] = int(split)
+
+        return self._metadata_commit(mutate)
+
+    @property
+    def clustering(self) -> tuple[list[str], int] | None:
+        spec = self.snapshot.get("cluster_by")
+        return (spec, int(self.snapshot.get("cluster_split", 1))) if spec else None
+
+    def _metadata_commit(self, mutate) -> "LakeTable":
+        """Data-free snapshot commit: copy the current snapshot, apply
+        ``mutate(snap)``, CAS-write. A lost race replays the mutation onto
+        the winner (no staged files, so every conflict is rebaseable)."""
         if self._pinned:
             raise CommitConflict(
                 "time-travel handle is read-only (pinned snapshot)")
@@ -1039,7 +1089,7 @@ class LakeTable:
             snap["version"] = self.version + 1
             snap["parent"] = self.version
             snap["created_ms"] = int(time.time() * 1000)
-            snap["summary"] = _merge_summary(self.summary, summary)
+            mutate(snap)
             try:
                 _write_snapshot(self._meta_dir, snap)
                 return self.refresh()

@@ -13,6 +13,7 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
 from pyspark.sql import functions as F
 
 from mimic_iv_etl_spark.cdc.oracle import duckdb_final_state
@@ -93,6 +94,54 @@ def test_read_range_mor_fallback_is_exact(spark, small_log, tmp_path):
     assert [(r["conv_id"], r["turn_idx"], r["text"])
             for r in tbl.read_range("ts", new_ts, new_ts).collect()] == [
         (row["conv_id"], row["turn_idx"], "moved")]
+
+
+def test_persistent_clustering_spec(spark, small_log, tmp_path):
+    """set_clustering declares a table-level sort/split spec that EVERY later
+    compaction honors (Iceberg sort-order analogue): the table keeps its
+    skipping layout as it churns, without anyone passing cluster_by again.
+    Spec-driven compaction stays O(churned buckets): only delta-bearing
+    buckets rewrite, but in the clustered layout."""
+    import datetime as dt
+
+    tbl, d = _replayed(spark, small_log, tmp_path, "t_spec")
+    assert tbl.clustering is None
+    with pytest.raises(ValueError, match="not in schema"):
+        tbl.set_clustering(["no_such_col"])
+
+    tbl.set_clustering(["ts"], split=4)
+    assert tbl.clustering == (["ts"], 4)
+    v = tbl.version
+    tbl.compact()  # no explicit cluster_by — spec shapes the rewrite
+    assert tbl.version == v + 1
+    per_bucket: dict[int, int] = {}
+    for e in tbl.files:
+        per_bucket[e["bucket"]] = per_bucket.get(e["bucket"], 0) + 1
+    assert max(per_bucket.values()) >= 3, "spec-driven compaction not split"
+
+    # the spec rides data commits: append a delta, auto-compact, still there
+    upd = spark.createDataFrame(
+        [("specconv", 0, "user", "x", None, dt.datetime(2029, 1, 1),
+          False, 10**8, 0)],
+        "conv_id string, turn_idx int, role string, text string, tool string, "
+        "ts timestamp, _deleted boolean, _lww_offset long, _lww_partition int")
+    tbl.append_delta(upd.withColumn("_bucket", tbl.bucket_expr()))
+    assert tbl.clustering == (["ts"], 4)
+    tbl.maybe_compact(max_deltas_per_bucket=0)
+    assert all(e.get("kind") == "base" for e in tbl.files)
+    # skipping works against the spec-maintained layout
+    all_ts = sorted(r["ts"] for r in tbl.read().select("ts").collect())
+    lo, hi = all_ts[0], all_ts[len(all_ts) // 10]
+    kept = LakeTable._prune_by_stats(tbl.files, "ts", lo, hi)
+    assert len(kept) < len(tbl.files)
+    got = {(r["conv_id"], r["turn_idx"]) for r in
+           tbl.read_range("ts", lo, hi).collect()}
+    want = {(r["conv_id"], r["turn_idx"]) for r in
+            tbl.read().filter(F.col("ts").between(lo, hi)).collect()}
+    assert got == want
+
+    tbl.set_clustering(None)
+    assert tbl.clustering is None
 
 
 def test_prune_by_stats_conservative_rules():
