@@ -229,8 +229,21 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     BEFORE shingling, so the expensive shingle projection (and both join
     scans) touch O(candidate docs), not O(corpus) — at 100 TB the verify
     stage must never re-tokenize the whole table for a few thousand
-    survivors. The candidate id list arrives through a shuffle, so AQE sees
-    its true size and plans the semi joins as broadcasts."""
+    survivors.
+
+    ``pairs`` is consumed FIVE times by this plan shape (id_a branch, id_b
+    branch, the pair join — and the pruned corpus, which transitively
+    re-derives the ids, is consumed twice), so a lazily-built candidate
+    generator (LSH banding: shingle explode → signature aggregate → bucket
+    self-join → distinct) would be recomputed five times end-to-end
+    (measured at sf1.0: minhash_near_dups 15–65s, plan with 12 parquet
+    scans / 31 exchanges). Materializing the candidate set once with
+    ``localCheckpoint`` (guide §3.3: truncate the plan when an intermediate
+    is reused) makes every consumer read the same computed rows — the
+    candidate set is small by construction (bucket-capped), and it is
+    recomputed fresh on every invocation, so nothing is cached across runs."""
+    if not pairs.isStreaming:
+        pairs = pairs.localCheckpoint(eager=True)
     ids = (pairs.select(F.col("id_a").alias("_cid"))
            .unionAll(pairs.select(F.col("id_b").alias("_cid")))
            .distinct())

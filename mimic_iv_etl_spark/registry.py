@@ -26,8 +26,81 @@ from mimic_iv_etl_spark.operators import dedup, labeling, relational, similarity
 from mimic_iv_etl_spark.plans import QueryBuilder
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+# Hash-spread key per table (a unique-ish id, so the spread is deterministic,
+# uniform and pays no sort — round-robin repartition would local-sort its
+# input first, see SPARK-23207 / guide §2.5).
+_SPREAD_KEYS = {
+    "events": "event_id", "documents": "doc_id", "embeddings": "vec_id",
+    "lineitem": "l_orderkey", "orders": "o_orderkey",
+    "customer": "c_custkey", "part": "p_partkey", "supplier": "s_suppkey",
+}
+
+
+def _scan_units(path: str) -> tuple[int, int]:
+    """(independently-readable parquet chunks, total bytes) for a table path.
+    A scan task can only start at a row-group boundary, so files × row-groups
+    bounds the achievable scan parallelism regardless of split size."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
+             if os.path.isdir(path) else [path])
+    units = nbytes = 0
+    for f in files:
+        units += pq.read_metadata(f).num_row_groups
+        nbytes += os.path.getsize(f)
+    return units, nbytes
+
+
+# Never spread a table bigger than this: at real scale a large table has
+# plenty of row groups anyway, and an unconditional repartition would add a
+# full-payload shuffle (the exact anti-pattern guide §8.4 warns about).
+_SPREAD_MAX_BYTES = 512 << 20
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       spread_key: str | list[str] | None = None,
+       spread: bool = True) -> DataFrame:
+    """Read a testdata table, spreading unsplittable-but-compute-heavy inputs.
+
+    The driver testdata ships one parquet file per table with ONE row group
+    (lineitem: 6), so every scan stage — including the map side of the first
+    shuffle and any partial aggregation — runs on ≤ a handful of cores no
+    matter what ``maxPartitionBytes`` says (guide §2.5 "input skew: one huge
+    unsplittable file … repartition immediately after the read"). When the
+    achievable scan parallelism is below the core count and the table is
+    small enough that the extra exchange is cheap, hash-repartition on the
+    table's id so all downstream per-row work runs wide. Scale-adaptive by
+    construction: a production-size table has many row groups (units ≥
+    cores) or exceeds the byte guard, and the read stays shuffle-free.
+
+    ``spread_key`` overrides the hash key. Queries that round
+    partition-order-sensitive double aggregates (avg/stddev of quantized
+    doubles) MUST spread by their GROUP key: every group then lives whole in
+    one partition, and with a single upstream map task (the single-row-group
+    case that triggers spreading at gate SFs) the per-group row order — and
+    therefore every float64 partial sum — is exactly the sequential order
+    the oracle's single-threaded scan uses, so the rounded results stay
+    bit-identical (verified: an id-hash spread flipped group_stats
+    value_mean 58.5557→58.5558 at sf0.01; the group-key spread does not)."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    if not spread:
+        return df
+    cpus = spark.sparkContext.defaultParallelism
+    try:
+        units, nbytes = _scan_units(path)
+    except Exception:
+        return df
+    if units < cpus and nbytes < _SPREAD_MAX_BYTES:
+        key = spread_key if spread_key is not None else _SPREAD_KEYS.get(name)
+        if key is not None:
+            cols = [F.col(k) for k in (key if isinstance(key, list) else [key])]
+            df = df.repartition(cpus, *cols)
+        else:
+            df = df.repartition(cpus)
+    return df
 
 
 # --------------------------------------------------------------------------
@@ -118,8 +191,12 @@ class Entry:
 # --------------------------------------------------------------------------
 
 def q_frequency(spark, sf):
-    """A1 — analysis_utils.py:34-39."""
-    return relational.item_frequency(_t(spark, sf, "events"), "event_type")
+    """A1 — analysis_utils.py:34-39. No spread: the map-side partial count
+    collapses the table to a handful of rows before any exchange — an
+    up-front repartition would shuffle every input row instead (measured
+    0.22s → 0.6s at sf1.0)."""
+    return relational.item_frequency(
+        _t(spark, sf, "events", spread=False), "event_type")
 
 
 def q_user_activity_stats(spark, sf):
@@ -141,8 +218,11 @@ def q_user_activity_stats(spark, sf):
 
 
 def q_group_stats(spark, sf):
-    """A5 — feature_engineering.py:131-151 (exact percentile, fixed imports)."""
-    out = relational.group_statistics(_t(spark, sf, "events"), ["user_id"], "value")
+    """A5 — feature_engineering.py:131-151 (exact percentile, fixed imports).
+    Spread by the GROUP key (see ``_t``): value_mean/value_stddev round
+    float64 sums whose order must match the oracle's sequential scan."""
+    out = relational.group_statistics(
+        _t(spark, sf, "events", spread_key="user_id"), ["user_id"], "value")
     return out.select(
         "user_id",
         F.round("value_mean", 4).alias("value_mean"),
@@ -186,9 +266,11 @@ def q_event_windows(spark, sf):
 
 
 def q_latest_per_key(spark, sf):
-    """J7/W4 — feature_engineering.py:238-240 (the LWW kernel)."""
+    """J7/W4 — feature_engineering.py:238-240 (the LWW kernel). No spread:
+    measured flat-to-slower with it (the 150-group max_by already reduces
+    map-side; the extra full-row exchange buys nothing)."""
     out = windows.latest_record_per_key(
-        _t(spark, sf, "events"), ["user_id"], ["ts", "event_id"]
+        _t(spark, sf, "events", spread=False), ["user_id"], ["ts", "event_id"]
     )
     return out.select("user_id", "event_id", "event_type", "value", "ts")
 
@@ -284,11 +366,24 @@ def q_string_match(spark, sf):
 # --------------------------------------------------------------------------
 
 def q_tpch_q1(spark, sf):
-    """Pricing summary (guide: common OLAP pattern; exercises partial agg)."""
-    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= "1998-09-02")
-    # sums accumulate in DECIMAL: exact, order-independent — double sums differ
-    # in the last bits between engines (and between shuffle plans)
-    dec = "decimal(28,6)"
+    """Pricing summary (guide: common OLAP pattern; exercises partial agg).
+
+    No spread: avg_disc rounds a float64 sum whose order must match the
+    oracle's sequential scan, and a group-key spread (6 groups) measured
+    slower than the unspread plan (6 fat shuffle partitions of the full
+    table vs map-side partial aggregation).
+
+    DECIMAL(18,6) casts, not (28,6): identical digits — the cast rounds the
+    double at scale 6 either way and every value fits 12 integer digits —
+    but precision ≤ 18 keeps the per-row Decimal in its compact long
+    representation (sum buffers widen to (28,6) yet their values stay under
+    2^63 so additions take the long fast path). Measured 4.8s → 1.4s at
+    sf1.0; sums remain exact and order-independent, which is the point of
+    decimal accumulation (double sums differ in the last bits between
+    engines and between shuffle plans)."""
+    li = _t(spark, sf, "lineitem", spread=False).filter(
+        F.col("l_shipdate") <= "1998-09-02")
+    dec = "decimal(18,6)"
     return li.groupBy("l_returnflag", "l_linestatus").agg(
         F.sum(F.col("l_quantity").cast(dec)).cast("double").alias("sum_qty"),
         F.sum(F.col("l_extendedprice").cast(dec)).cast("double").alias("sum_base_price"),
@@ -303,10 +398,14 @@ def q_tpch_q1(spark, sf):
 
 
 def q_order_revenue(spark, sf):
-    """Join-heavy revenue rollup (orders ⋈ lineitem ⋈ customer)."""
-    li = _t(spark, sf, "lineitem")
-    o = _t(spark, sf, "orders").filter(F.col("o_orderdate") < "1997-01-01")
-    c = _t(spark, sf, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    """Join-heavy revenue rollup (orders ⋈ lineitem ⋈ customer). No spread:
+    the join exchanges already parallelize everything past the scan, and an
+    up-front repartition measured 1.5s → 2.7s at sf1.0."""
+    li = _t(spark, sf, "lineitem", spread=False)
+    o = _t(spark, sf, "orders", spread=False).filter(
+        F.col("o_orderdate") < "1997-01-01")
+    c = _t(spark, sf, "customer", spread=False).filter(
+        F.col("c_mktsegment") == "BUILDING")
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
@@ -329,7 +428,10 @@ def q_correlation(spark, sf):
     F.corr aggregate)."""
     from mimic_iv_etl_spark.compat.ml_utils import MLUtils
 
-    return MLUtils(_t(spark, sf, "lineitem")).correlation_features(
+    # no spread: corr is ONE global group of float64 moment sums — any
+    # repartition reorders the merge and risks a rounding flip vs the
+    # oracle's sequential scan (there is no group key to spread by)
+    return MLUtils(_t(spark, sf, "lineitem", spread=False)).correlation_features(
         ["l_quantity", "l_extendedprice", "l_discount"]
     )
 
@@ -424,7 +526,10 @@ def q_simhash_near_dups(spark, sf):
 
 def q_cosine_topk(spark, sf):
     emb = _t(spark, sf, "embeddings")
-    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5)
+    # dim known for the testdata embeddings → unrolled codegen'd dot product
+    # (similarity._dot) instead of the interpreted HOF fold; bit-identical
+    return similarity.cosine_topk(emb, emb.filter(F.col("vec_id") < 10), k=5,
+                                  dim=_EMB_DIM)
 
 
 # bounds the deliberate all-pairs exact verification (like _NGRAM_PAIR_DOC_CAP:
@@ -440,7 +545,8 @@ _EMB_PAIR_THRESHOLD = 0.40
 
 def q_embedding_near_dups(spark, sf):
     emb = _t(spark, sf, "embeddings").filter(F.col("vec_id") < _EMB_PAIR_VEC_CAP)
-    return similarity.embedding_near_dups(emb, threshold=_EMB_PAIR_THRESHOLD)
+    return similarity.embedding_near_dups(emb, threshold=_EMB_PAIR_THRESHOLD,
+                                          dim=_EMB_DIM)
 
 
 # Explicit LSH hyperplanes for the gate entry: deterministic seeded normals,
@@ -479,7 +585,7 @@ def q_lsh_ann(spark, sf):
     emb = _t(spark, sf, "embeddings")
     return similarity.lsh_bucketed_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5,
-        n_planes=_LSH_N_PLANES, planes=_lsh_planes())
+        n_planes=_LSH_N_PLANES, planes=_lsh_planes(), dim=_EMB_DIM)
 
 
 def q_ivf_ann(spark, sf):
@@ -491,7 +597,7 @@ def q_ivf_ann(spark, sf):
     return similarity.ivf_topk(
         emb, emb.filter(F.col("vec_id") < 20), k=5,
         n_lists=_IVF_N_LISTS, n_probe=_IVF_N_PROBE,
-        centroid_ids=_IVF_CENTROID_IDS)
+        centroid_ids=_IVF_CENTROID_IDS, dim=_EMB_DIM)
 
 
 # --------------------------------------------------------------------------
