@@ -443,154 +443,170 @@ def apply_batch(
 
     from mimic_iv_etl_spark.session import observation_scrub_available
 
+    # ONE try/finally covers everything from (potential) lock acquisition
+    # through commit: the locator staging dir and the Observation
+    # session-poisoning scrub (Spark 4.1.x ObservationManager serialization
+    # bug — see session.scrub_observation_manager) must be cleaned up on
+    # EVERY exit — including a locator abort (manifest cross-check,
+    # NULL-stamp guard) or any Spark error — or later jobs capturing the
+    # session fail with NotSerializableException and _staging/lww-bitmap-*
+    # dirs leak (ADVICE r04). The obs session lock is acquired INSIDE the
+    # try: the old structure acquired it before the protected region, so a
+    # Py4J/analysis error while building the observe or candidate plans
+    # leaked the lock and permanently deadlocked every later
+    # Observation-bearing batch on the session (ADVICE r05). Batches are
+    # sequential on a session, so no other observation is in flight when
+    # the scrub runs.
     obs_val = None
-    if (manifest_ranges is not None and validate_manifest
-            and observation_scrub_available()):
-        # -- manifest cross-check: counters ride the batch's first job --
-        import uuid
-
-        from pyspark.sql import Observation
-
-        drop_rng = ()
-        if len(ranges) <= _HWM_PREDICATE_CAP:
-            # single-expr SQL build for the same Py4J-chatter reason as
-            # _hwm_filter (measured ~230 ms/batch as chained Columns)
-            known = F.expr(" OR ".join(
-                f"(partition = {int(r['partition'])} AND offset BETWEEN "
-                f"{int(r['min_offset'])} AND {int(r['max_offset'])})"
-                for r in ranges))
-        else:
-            # beyond the chained-predicate cap the range check rides a
-            # broadcast-joined (partition → lo, hi) lookup instead of
-            # degrading to membership-only — a corrupt batch whose
-            # out-of-range offsets in declared partitions numerically cancel
-            # missing in-range rows would pass a membership+count check but
-            # is caught here (ADVICE r04); same shape as _hwm_filter's
-            # fallback, one broadcast-hash-join stage on the batch's first job
-            rng = spark.createDataFrame(
-                [(int(r["partition"]), int(r["min_offset"]),
-                  int(r["max_offset"])) for r in ranges],
-                "partition int, _rlo long, _rhi long")
-            fresh = fresh.join(F.broadcast(rng), "partition", "left")
-            known = (F.col("_rlo").isNotNull()
-                     & (F.col("offset") >= F.col("_rlo"))
-                     & (F.col("offset") <= F.col("_rhi")))
-            drop_rng = ("_rlo", "_rhi")
-        obs_lock = _obs_session_lock(spark)
-        obs_lock.acquire()
-        obs_val = Observation(f"validate_manifest_{uuid.uuid4().hex[:8]}")
-        fresh = fresh.observe(
-            obs_val,
-            F.count(F.lit(1)).alias("n_total"),
-            F.count(F.when(F.col("partition").isNull() | ~known, True))
-            .alias("n_unknown"),
-        )
-        if drop_rng:
-            fresh = fresh.drop(*drop_rng)
-
-    if (manifest_ranges is None and source_partitions is not None
-            and observation_scrub_available()):
-        # per-partition ranges observed during the write job — no extra action
-        import uuid
-
-        from pyspark.sql import Observation
-
-        obs_lock = _obs_session_lock(spark)
-        obs_lock.acquire()
-        obs = Observation(f"apply_ranges_{uuid.uuid4().hex[:8]}")
-        # NULL partitions must count as unknown too: `~isin` alone evaluates
-        # to NULL for them, silently exempting such rows from the guard
-        aggs = [F.count(F.when(
-            F.col("partition").isNull()
-            | ~F.col("partition").isin([int(p) for p in source_partitions]), True
-        )).alias("n_unknown")]
-        for p in source_partitions:
-            cond = F.col("partition") == int(p)
-            aggs += [
-                F.count(F.when(cond, True)).alias(f"n_{p}"),
-                F.min(F.when(cond, F.col("offset"))).alias(f"lo_{p}"),
-                F.max(F.when(cond, F.col("offset"))).alias(f"hi_{p}"),
-            ]
-        fresh = fresh.observe(obs, *aggs)
-    elif manifest_ranges is None:
-        # the single driver-side aggregate: per-source-partition ranges (≤P rows)
-        with phase("ranges_aggregate"):
-            collected = (
-                fresh.groupBy("partition")
-                .agg(
-                    F.count("*").alias("events"),
-                    F.min("offset").alias("min_offset"),
-                    F.max("offset").alias("max_offset"),
-                )
-                .collect()
-            )
-        ranges = [{"partition": int(r["partition"]), "events": int(r["events"]),
-                   "min_offset": int(r["min_offset"]),
-                   "max_offset": int(r["max_offset"])} for r in collected]
-        events_applied = sum(r["events"] for r in ranges)
-        if events_applied == 0:
-            if cached is not None:
-                cached.unpersist()
-            return _skipped_stats()
-        new_applied = {str(p): o for p, o in applied.items()}
-        for r in ranges:
-            p = str(r["partition"])
-            new_applied[p] = max(int(new_applied.get(p, -1)), int(r["max_offset"]))
-
-    # -- internal candidate rows: data cols aligned to merged schema + stamps
-    # (selectExpr over SQL strings — one Py4J call instead of ~5 per column)
-    have = set(batch_df.columns)
-    decode_names = {"role", "text", "tool"} if late_decode else set()
-    data_exprs = [
-        (f"CAST(`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
-         if f.name in have
-         else f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`")
-        for f in merged.fields
-        if f.name not in decode_names
-    ]
-    if late_decode:
-        data_exprs.append("`payload`")
-    candidates = fresh.selectExpr(
-        *data_exprs,
-        "(op = 'D') AS _deleted",
-        "CAST(offset AS bigint) AS _lww_offset",
-        "CAST(partition AS int) AS _lww_partition",
-    )
-    # driver-side plan construction up to this point (schema merge, hwm
-    # filter, validation observe, candidate projection) — pure Py4J/analysis
-    # work, no Spark job; a per-micro-batch fixed cost worth watching
-    from mimic_iv_etl_spark.cdc.profiling import record as _record
-
-    _record("plan_prelude", time.monotonic() - _prelude_t0)
-
-    if dedup_mode == "locator":
-        # locator needs the dense-manifest arithmetic ranges, the packed
-        # stamp's bit budget, and a bounded driver transfer; outside them the
-        # classic kernel is the answer
-        usable = (manifest_ranges is not None and ranges
-                  and _locator_supported(ranges))
-        if usable:
-            window_bits = sum(
-                r["max_offset"] - r["min_offset"] + 1 for r in ranges)
-            # winners ≤ events in the window → events_applied × 16B bounds
-            # the locator Arrow transfer; window_bits/8 is the exact bitmap
-            if events_applied * 16 + window_bits // 8 > locator_driver_budget:
-                usable = False
-        if not usable:
-            dedup_mode = "agg"
-
-    # One try/finally covers everything from winner construction through
-    # commit: the locator staging dir and the Observation session-poisoning
-    # scrub (Spark 4.1.x ObservationManager serialization bug — see
-    # session.scrub_observation_manager) must be cleaned up on EVERY exit —
-    # including a locator abort (manifest cross-check, NULL-stamp guard) or
-    # any Spark error — or later jobs capturing the session fail with
-    # NotSerializableException and _staging/lww-bitmap-* dirs leak (ADVICE
-    # r04). Batches are sequential on a session, so no other observation is
-    # in flight when the scrub runs.
-    pre_partitioned = dedup_mode == "bucket"
     locator_cleanup = None
+    pre_partitioned = dedup_mode == "bucket"
     try:
+        if (manifest_ranges is not None and validate_manifest
+                and observation_scrub_available()):
+            # -- manifest cross-check: counters ride the batch's first job --
+            import uuid
+
+            from pyspark.sql import Observation
+
+            drop_rng = ()
+            if len(ranges) <= _HWM_PREDICATE_CAP:
+                # single-expr SQL build for the same Py4J-chatter reason as
+                # _hwm_filter (measured ~230 ms/batch as chained Columns)
+                known = F.expr(" OR ".join(
+                    f"(partition = {int(r['partition'])} AND offset BETWEEN "
+                    f"{int(r['min_offset'])} AND {int(r['max_offset'])})"
+                    for r in ranges))
+            else:
+                # beyond the chained-predicate cap the range check rides a
+                # broadcast-joined (partition → lo, hi) lookup instead of
+                # degrading to membership-only — a corrupt batch whose
+                # out-of-range offsets in declared partitions numerically
+                # cancel missing in-range rows would pass a membership+count
+                # check but is caught here (ADVICE r04); same shape as
+                # _hwm_filter's fallback, one broadcast-hash-join stage on
+                # the batch's first job
+                rng = spark.createDataFrame(
+                    [(int(r["partition"]), int(r["min_offset"]),
+                      int(r["max_offset"])) for r in ranges],
+                    "partition int, _rlo long, _rhi long")
+                fresh = fresh.join(F.broadcast(rng), "partition", "left")
+                known = (F.col("_rlo").isNotNull()
+                         & (F.col("offset") >= F.col("_rlo"))
+                         & (F.col("offset") <= F.col("_rhi")))
+                drop_rng = ("_rlo", "_rhi")
+            obs_lock = _obs_session_lock(spark)
+            obs_lock.acquire()
+            obs_val = Observation(f"validate_manifest_{uuid.uuid4().hex[:8]}")
+            fresh = fresh.observe(
+                obs_val,
+                F.count(F.lit(1)).alias("n_total"),
+                F.count(F.when(F.col("partition").isNull() | ~known, True))
+                .alias("n_unknown"),
+            )
+            if drop_rng:
+                fresh = fresh.drop(*drop_rng)
+
+        if (manifest_ranges is None and source_partitions is not None
+                and observation_scrub_available()):
+            # per-partition ranges observed during the write job — no extra
+            # action
+            import uuid
+
+            from pyspark.sql import Observation
+
+            obs_lock = _obs_session_lock(spark)
+            obs_lock.acquire()
+            obs = Observation(f"apply_ranges_{uuid.uuid4().hex[:8]}")
+            # NULL partitions must count as unknown too: `~isin` alone
+            # evaluates to NULL for them, silently exempting such rows from
+            # the guard
+            aggs = [F.count(F.when(
+                F.col("partition").isNull()
+                | ~F.col("partition").isin([int(p) for p in source_partitions]),
+                True
+            )).alias("n_unknown")]
+            for p in source_partitions:
+                cond = F.col("partition") == int(p)
+                aggs += [
+                    F.count(F.when(cond, True)).alias(f"n_{p}"),
+                    F.min(F.when(cond, F.col("offset"))).alias(f"lo_{p}"),
+                    F.max(F.when(cond, F.col("offset"))).alias(f"hi_{p}"),
+                ]
+            fresh = fresh.observe(obs, *aggs)
+        elif manifest_ranges is None:
+            # the single driver-side aggregate: per-source-partition ranges
+            # (≤P rows)
+            with phase("ranges_aggregate"):
+                collected = (
+                    fresh.groupBy("partition")
+                    .agg(
+                        F.count("*").alias("events"),
+                        F.min("offset").alias("min_offset"),
+                        F.max("offset").alias("max_offset"),
+                    )
+                    .collect()
+                )
+            ranges = [{"partition": int(r["partition"]),
+                       "events": int(r["events"]),
+                       "min_offset": int(r["min_offset"]),
+                       "max_offset": int(r["max_offset"])} for r in collected]
+            events_applied = sum(r["events"] for r in ranges)
+            if events_applied == 0:
+                if cached is not None:
+                    cached.unpersist()
+                return _skipped_stats()
+            new_applied = {str(p): o for p, o in applied.items()}
+            for r in ranges:
+                p = str(r["partition"])
+                new_applied[p] = max(int(new_applied.get(p, -1)),
+                                     int(r["max_offset"]))
+
+        # -- internal candidate rows: data cols aligned to merged schema +
+        # stamps (selectExpr over SQL strings — one Py4J call instead of ~5
+        # per column)
+        have = set(batch_df.columns)
+        decode_names = {"role", "text", "tool"} if late_decode else set()
+        data_exprs = [
+            (f"CAST(`{f.name}` AS {f.dataType.simpleString()}) AS `{f.name}`"
+             if f.name in have
+             else f"CAST(NULL AS {f.dataType.simpleString()}) AS `{f.name}`")
+            for f in merged.fields
+            if f.name not in decode_names
+        ]
+        if late_decode:
+            data_exprs.append("`payload`")
+        candidates = fresh.selectExpr(
+            *data_exprs,
+            "(op = 'D') AS _deleted",
+            "CAST(offset AS bigint) AS _lww_offset",
+            "CAST(partition AS int) AS _lww_partition",
+        )
+        # driver-side plan construction up to this point (schema merge, hwm
+        # filter, validation observe, candidate projection) — pure
+        # Py4J/analysis work, no Spark job; a per-micro-batch fixed cost
+        # worth watching
+        from mimic_iv_etl_spark.cdc.profiling import record as _record
+
+        _record("plan_prelude", time.monotonic() - _prelude_t0)
+
+        if dedup_mode == "locator":
+            # locator needs the dense-manifest arithmetic ranges, the packed
+            # stamp's bit budget, and a bounded driver transfer; outside
+            # them the classic kernel is the answer
+            usable = (manifest_ranges is not None and ranges
+                      and _locator_supported(ranges))
+            if usable:
+                window_bits = sum(
+                    r["max_offset"] - r["min_offset"] + 1 for r in ranges)
+                # winners ≤ events in the window → events_applied × 16B
+                # bounds the locator Arrow transfer; window_bits/8 is the
+                # exact bitmap
+                if (events_applied * 16 + window_bits // 8
+                        > locator_driver_budget):
+                    usable = False
+            if not usable:
+                dedup_mode = "agg"
+
         if pre_partitioned:
             # bucket computed BEFORE the (single) shuffle so the LWW agg and
             # the partitioned write share one exchange

@@ -119,6 +119,7 @@ def flush_sidecars(spark: SparkSession, table_path: str) -> None:
     flushed segments and the live tail; ``spark`` is unused (kept for API
     stability)."""
     import glob as _glob
+    import time
     import uuid
 
     import pyarrow as pa
@@ -128,7 +129,18 @@ def flush_sidecars(spark: SparkSession, table_path: str) -> None:
                                   ("_metrics", "metrics", METRICS_SCHEMA)):
         side = os.path.join(table_path, dirname)
         jsonl = os.path.join(side, f"{stem}.jsonl")
-        todo = _glob.glob(jsonl + ".flushing-*")  # crash-leftover claims
+        # Crash-leftover claims only: a LIVE concurrent flusher holds its
+        # claim for milliseconds, so sweep only claims older than a grace
+        # window (vacuum-style) — stealing a live claim crashed the victim's
+        # open()/remove() and double-flushed its rows (ADVICE r05).
+        todo = []
+        now = time.time()
+        for c in _glob.glob(jsonl + ".flushing-*"):
+            try:
+                if now - os.path.getmtime(c) > 60.0:
+                    todo.append(c)
+            except FileNotFoundError:
+                continue  # its owner finished (or another sweeper won)
         if os.path.exists(jsonl):
             todo.append(jsonl)
         for tail in todo:
@@ -137,8 +149,11 @@ def flush_sidecars(spark: SparkSession, table_path: str) -> None:
                 os.replace(tail, claim)  # exactly one flusher wins this tail
             except FileNotFoundError:
                 continue
-            with open(claim) as f:
-                rows = [json.loads(line) for line in f if line.strip()]
+            try:
+                with open(claim) as f:
+                    rows = [json.loads(line) for line in f if line.strip()]
+            except FileNotFoundError:
+                continue  # a belated sweeper stole the claim; it owns it now
             if rows:
                 tbl = pa.Table.from_pylist(rows, schema=_arrow_schema(schema))
                 flushed = os.path.join(side, "flushed")
@@ -150,4 +165,7 @@ def flush_sidecars(spark: SparkSession, table_path: str) -> None:
                 tmp = os.path.join(flushed, f".seg-{hexid}.tmp")
                 papq.write_table(tbl, tmp)
                 os.replace(tmp, seg)
-            os.remove(claim)
+            try:
+                os.remove(claim)
+            except FileNotFoundError:
+                pass  # a belated sweeper already consumed it

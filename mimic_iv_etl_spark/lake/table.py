@@ -419,8 +419,21 @@ class LakeTable:
         """Entries whose ``col`` stats overlap [lo, hi]; entries without
         stats for ``col`` (old manifests, stats-less types) are kept —
         absence of evidence never skips data."""
-        qlo = lo.isoformat() if hasattr(lo, "isoformat") else lo
-        qhi = hi.isoformat() if hasattr(hi, "isoformat") else hi
+        def _canon(b):
+            # manifest stats are naive-UTC isoformat strings; a tz-AWARE
+            # bound would isoformat with a "+HH:MM" suffix and compare
+            # lexicographically wrong when the prefixes are equal, wrongly
+            # skipping a boundary-matching file (ADVICE r05) — normalize
+            # aware datetimes to naive UTC first
+            if hasattr(b, "isoformat"):
+                if getattr(b, "tzinfo", None) is not None:
+                    import datetime as _dt
+
+                    b = b.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+                return b.isoformat()
+            return b
+
+        qlo, qhi = _canon(lo), _canon(hi)
         kept = []
         for e in files:
             s = e.get("stats", {}).get(col)
@@ -1004,10 +1017,16 @@ class LakeTable:
                 live_manifests |= set(snap.get("manifests", []))
                 referenced |= {e["path"]
                                for e in _files_of(self._meta_dir, snap)}
-            elif ".json.corrupt-" in fn:
+            elif ".json.corrupt-" in fn or (fn.startswith(".v")
+                                            and fn.endswith(".tmp")):
                 p = os.path.join(self._meta_dir, fn)
                 if now - os.path.getmtime(p) >= grace_seconds:
-                    os.remove(p)  # quarantined torn snapshots age out too
+                    # quarantined torn snapshots and crash-orphaned link-
+                    # commit tmp files age out
+                    try:
+                        os.remove(p)
+                    except FileNotFoundError:
+                        pass
         removed = {"data_files": 0, "staging_dirs": 0, "manifests": 0}
         for fn in os.listdir(self._meta_dir):
             if (fn.startswith("m-") and fn.endswith(".json")
@@ -1198,32 +1217,43 @@ _TORN_SNAPSHOT_GRACE_S = 60.0
 
 
 def _write_snapshot(meta_dir: str, snap: dict) -> None:
+    """Atomic commit point: the snapshot is fully written and fsynced to a
+    hidden tmp file, then ``os.link``ed to its ``v{N}.json`` name — EEXIST
+    IS the conflict signal, and the commit name only ever appears with
+    complete content, so torn snapshots cannot exist (ADVICE r05: the old
+    O_EXCL-create-then-write protocol made content durability a separate
+    step, and the torn-file quarantine it required could steal the slot of
+    a live writer paused longer than the grace between create and write —
+    an exactly-once violation). The quarantine below remains only to HEAL
+    tables holding a corpse from a pre-link-protocol writer crash; with the
+    link commit no new writer can produce one, so taking such a slot no
+    longer races a paused-but-alive writer."""
     path = os.path.join(meta_dir, f"v{snap['version']}.json")
+    tmp = os.path.join(meta_dir, f".v{snap['version']}.{uuid.uuid4().hex}.tmp")
+    with open(tmp, "w") as f:
+        json.dump(snap, f)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_EXCL)
+        os.link(tmp, path)
     except FileExistsError as e:
-        # Torn-snapshot recovery: a writer that died between the O_EXCL
-        # create and the fsync leaves a file that will NEVER parse — without
-        # this, every future commit conflicts on it and the chain wedges
-        # permanently. Quarantine the corpse (unparseable AND old) and take
-        # the slot; a concurrent healthy writer mid-fsync is younger than
-        # the grace and stays a plain conflict.
         try:
             with open(path) as f:
                 json.load(f)
         except (json.JSONDecodeError, FileNotFoundError):
+            # legacy torn corpse (unparseable AND old): quarantine + retake
             try:
                 age = time.time() - os.path.getmtime(path)
                 if age > _TORN_SNAPSHOT_GRACE_S:
                     os.replace(path, path + f".corrupt-{uuid.uuid4().hex}")
+                    os.remove(tmp)
                     return _write_snapshot(meta_dir, snap)
             except FileNotFoundError:
+                os.remove(tmp)
                 return _write_snapshot(meta_dir, snap)  # another writer healed it
+        os.remove(tmp)
         raise CommitConflict(f"snapshot v{snap['version']} already exists") from e
-    with os.fdopen(fd, "w") as f:
-        json.dump(snap, f)
-        f.flush()
-        os.fsync(f.fileno())
+    os.remove(tmp)
     tmp = os.path.join(meta_dir, f".hint.{uuid.uuid4().hex}")
     with open(tmp, "w") as f:
         f.write(str(snap["version"]))

@@ -220,10 +220,23 @@ def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
 
 
 def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
-                  text_col: str = "text", n: int = 3) -> DataFrame:
+                  text_col: str = "text", n: int = 3,
+                  hashed: bool = False) -> DataFrame:
     """Exact n-gram-shingle Jaccard for candidate ``pairs (id_a, id_b)``.
     Joins the (small) candidate set back to the shingle arrays and computes
     |∩| / |∪| with array intersection — verification cost is O(candidates).
+
+    ``hashed=True`` represents each shingle set as ``array<long>`` of
+    shingle ``xxhash64`` values instead of the raw strings: the broadcast
+    relation shrinks ~3× and the per-pair intersect/union hashes fixed
+    longs instead of rehashing ~15-char strings twice per pair (measured at
+    sf1.0, 634k candidate pairs: join+verify 1.7s → 0.78s). Set
+    cardinalities — and therefore every jaccard value — are unchanged
+    unless two distinct shingles of ONE compared pair collide in 64 bits
+    (P < 1e-13 per pair); the LSH band buckets already join on xxhash64
+    equality, so this is the engine's established hash-identity assumption.
+    The string path stays the default for callers that want pure
+    string-set semantics.
 
     The corpus is semi-join-pruned to docs that actually appear in a pair
     BEFORE shingling, so the expensive shingle projection (and both join
@@ -248,8 +261,13 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
            .unionAll(pairs.select(F.col("id_b").alias("_cid")))
            .distinct())
     pruned = df.join(ids, df[id_col] == ids["_cid"], "leftsemi")
-    sh = pruned.select(F.col(id_col).alias("_id"),
-                       F.array_distinct(_shingles(text_col, n)).alias("_sh"))
+    sets = (F.array_distinct(F.transform(_shingles(text_col, n),
+                                         lambda s: F.xxhash64(s)))
+            if hashed else F.array_distinct(_shingles(text_col, n)))
+    sh = pruned.select(F.col(id_col).alias("_id"), sets.alias("_sh"))
+    if not sh.isStreaming:
+        # consumed by both pair joins — shingle the candidate docs once
+        sh = sh.localCheckpoint(eager=True)
     out = (
         pairs.join(sh.withColumnRenamed("_sh", "sh_a"),
                    pairs.id_a == sh._id).drop("_id")
@@ -273,7 +291,8 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
     buckets = minhash_band_buckets(df, id_col=id_col, text_col=text_col,
                                    n=n, k=k, bands=bands)
     cands = _bucket_pairs(buckets, ["band", "band_hash"], max_bucket)
-    return ngram_jaccard(df, cands, id_col=id_col, text_col=text_col, n=n).filter(
+    return ngram_jaccard(df, cands, id_col=id_col, text_col=text_col, n=n,
+                         hashed=True).filter(
         F.col("jaccard") >= threshold
     )
 

@@ -176,3 +176,34 @@ def test_observed_ranges_mode_matches_oracle_and_guards_universe(
     feats = VectorAssembler(inputCols=["x1"], outputCol="features").transform(df)
     model = LogisticRegression(labelCol="label", maxIter=5).fit(feats)
     assert model.transform(feats).groupBy("prediction").count().count() == 2
+
+
+def test_flush_sidecars_leaves_live_claims_alone(spark, tmp_path):
+    """ADVICE r05: the crash-leftover sweep must not steal a LIVE concurrent
+    flusher's claim (a young .flushing-* file) — only claims older than the
+    grace window are reclaimed."""
+    import json
+    import os
+    import time
+
+    from mimic_iv_etl_spark.cdc.metrics import (append_metrics, flush_sidecars,
+                                                read_metrics)
+
+    tdir = str(tmp_path / "t_flush")
+    row = {"batch_id": 1, "events_in": 1, "events_applied": 1, "winners": 1,
+           "seconds": 0.1, "events_per_sec": 10.0, "touched_buckets": 1,
+           "skipped": False}
+    append_metrics(tdir, row)
+    jsonl = os.path.join(tdir, "_metrics", "metrics.jsonl")
+    # simulate a concurrent flusher mid-flush: a freshly-claimed tail
+    live_claim = jsonl + ".flushing-livelive"
+    os.replace(jsonl, live_claim)
+    flush_sidecars(spark, tdir)
+    assert os.path.exists(live_claim), "live claim must not be stolen"
+    # age it past the grace window → a later sweep reclaims it
+    old = time.time() - 120
+    os.utime(live_claim, (old, old))
+    flush_sidecars(spark, tdir)
+    assert not os.path.exists(live_claim)
+    got = read_metrics(spark, tdir).toPandas()
+    assert len(got) == 1 and int(got["batch_id"][0]) == 1

@@ -570,3 +570,38 @@ def test_pinned_handle_never_rebases(spark, tmp_path):
         old.append_delta(_rows(spark, old, [
             ("r", 0, "user", "x", None, TS, False, 500, 0)]))
     assert LakeTable(spark, path).version == t1.version
+
+
+def test_link_commit_cannot_tear_and_orphan_tmp_is_vacuumed(spark, tmp_path):
+    """ADVICE r05: the commit point is now tmp-write+fsync+os.link, so the
+    v{N}.json name only ever appears with COMPLETE content — a crash before
+    the link leaves only a hidden tmp (vacuumed after the grace), never an
+    unparseable committed name; and a lost link race is a plain conflict
+    with the winner's file intact."""
+    import glob
+    import json as _json
+    import os
+
+    path = str(tmp_path / "t_link")
+    t1 = _mk_table(spark, path)
+    v = t1.version
+    meta = os.path.join(path, "metadata")
+    # simulate a crash mid-commit: the tmp exists, the link never happened
+    orphan = os.path.join(meta, f".v{v + 1}.deadbeef.tmp")
+    with open(orphan, "w") as f:
+        f.write('{"version": %d}' % (v + 1))
+    # every committed v*.json parses (no torn name can exist)
+    for fn in os.listdir(meta):
+        if fn.startswith("v") and fn.endswith(".json"):
+            with open(os.path.join(meta, fn)) as f:
+                _json.load(f)
+    fresh = LakeTable(spark, path)
+    assert fresh.version == v  # the orphan tmp is invisible to readers
+    fresh.commit_summary({"batch_id": 5})  # the slot is still free
+    assert fresh.version == v + 1
+    old = 0
+    os.utime(orphan, (old, old))
+    fresh.vacuum(grace_seconds=1.0)
+    assert not glob.glob(os.path.join(meta, ".v*.tmp")), "orphan tmp kept"
+    # no stray tmp files leak from successful commits either
+    assert not glob.glob(os.path.join(meta, ".v*.tmp"))

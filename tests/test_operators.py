@@ -652,3 +652,24 @@ def test_ivf_explicit_centroids_probe_all_equals_exact(spark):
         emb, q, k=3, n_lists=4, n_probe=4, centroid_ids=ids).collect()}
     exact = {tuple(r) for r in similarity.cosine_topk(emb, q, k=3).collect()}
     assert approx == exact
+
+
+def test_ngram_jaccard_hashed_matches_string_path(spark):
+    """The hashed (xxhash64 shingle-set) verify must produce the exact
+    jaccard values of the string-set path — set cardinalities are unchanged
+    short of a 64-bit collision inside one compared pair."""
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta"),
+         (2, "alpha beta gamma delta epsilon eta"),
+         (3, "totally different words over here"),
+         (4, "alpha beta"), (5, "")],
+        "doc_id long, text string")
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (4, 5)], "id_a long, id_b long")
+    a = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in dedup.ngram_jaccard(docs, pairs, n=2).collect()}
+    b = {(r["id_a"], r["id_b"]): r["jaccard"]
+         for r in dedup.ngram_jaccard(docs, pairs, n=2, hashed=True).collect()}
+    assert a == b and len(a) == 5

@@ -155,3 +155,32 @@ def test_prune_by_stats_conservative_rules():
     lo, hi = dt.datetime(2026, 1, 1, 12), dt.datetime(2026, 1, 3)
     kept = {e["path"] for e in LakeTable._prune_by_stats(files, "ts", lo, hi)}
     assert kept == {"a", "c", "d", "e"}
+
+
+def test_prune_by_stats_tz_aware_bound_matches_naive():
+    """ADVICE r05: a tz-aware bound used to isoformat with a '+00:00' suffix
+    and order wrong against the naive-UTC stat strings when prefixes tie —
+    skipping a file that contains boundary-matching rows. Aware bounds must
+    prune exactly like their naive-UTC equivalents."""
+    files = [
+        {"path": "a",
+         "stats": {"ts": ["2026-01-01T00:00:00", "2026-01-02T00:00:00"]}},
+        {"path": "b",
+         "stats": {"ts": ["2026-03-01T00:00:00", "2026-03-02T00:00:00"]}},
+    ]
+    # aware bound equal to file a's max: naive comparison keeps a; the aware
+    # isoformat '2026-01-02T00:00:00+00:00' > '2026-01-02T00:00:00' used to
+    # as well, but an aware LO at file max ('qlo > s[1]' with suffix) skipped
+    lo_aware = dt.datetime(2026, 1, 2, tzinfo=dt.timezone.utc)
+    hi_aware = dt.datetime(2026, 1, 3, tzinfo=dt.timezone.utc)
+    kept_aware = {e["path"] for e in
+                  LakeTable._prune_by_stats(files, "ts", lo_aware, hi_aware)}
+    kept_naive = {e["path"] for e in LakeTable._prune_by_stats(
+        files, "ts", dt.datetime(2026, 1, 2), dt.datetime(2026, 1, 3))}
+    assert kept_aware == kept_naive == {"a"}
+    # and a non-UTC zone converts correctly: 01:00+01:00 == 00:00 UTC
+    lo_cet = dt.datetime(2026, 1, 2, 1,
+                         tzinfo=dt.timezone(dt.timedelta(hours=1)))
+    kept_cet = {e["path"] for e in
+                LakeTable._prune_by_stats(files, "ts", lo_cet, hi_aware)}
+    assert kept_cet == {"a"}
