@@ -184,21 +184,15 @@ def minhash_lsh_candidates(df: DataFrame, id_col: str = "doc_id",
     return _bucket_pairs(buckets, ["band", "band_hash"], max_bucket)
 
 
-def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
-                         text_col: str = "text", n: int = 3, k: int = 32,
-                         bands: int = 8) -> DataFrame:
-    """Fused text → (id, band, band_hash) minhash-LSH path, entirely inside
-    whole-stage codegen: explode shingles (pipelined, never materialized),
-    hash each shingle twice, derive the k functions with rotate/XOR, reduce
-    with a map-side-combined ``min`` aggregate — the shuffle carries one
-    k-long row per doc, O(docs) not O(shingles).
-
-    (Measured note, sf0.1 local[32]: the previous array-HOF signature ran
-    interpreted — ``aggregate``/``transform`` are CodegenFallback — and per-
-    element node count dominated; this agg shape cut minhash_near_dups from
-    11.7s/28s to ~3s end-to-end.)"""
-    params = _mix_params(k)
-    ex = df.select(
+def _minhash_hash_rows(df: DataFrame, id_col: str = "doc_id",
+                       text_col: str = "text", n: int = 3) -> DataFrame:
+    """The shingle explode + double-hash pass shared by the signature and
+    verify stages: one ``(_id, _h1, _h2)`` row per shingle OCCURRENCE
+    (duplicates included — min aggregation ignores them; set consumers
+    dedupe). ``_h1 = xxhash64(shingle)`` is exactly the hash the hashed
+    verify uses, so a caller can materialize this frame once and derive
+    both the signatures and the verification shingle sets from it."""
+    return df.select(
         F.col(id_col).alias("_id"),
         F.explode(_shingles(text_col, n)).alias("_s"),
     ).select(
@@ -206,6 +200,30 @@ def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
         F.xxhash64("_s").alias("_h1"),
         F.xxhash64(F.concat(F.lit("\x01|"), F.col("_s"))).alias("_h2"),
     )
+
+
+def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", n: int = 3, k: int = 32,
+                         bands: int = 8,
+                         hash_rows: DataFrame | None = None) -> DataFrame:
+    """Fused text → (id, band, band_hash) minhash-LSH path, entirely inside
+    whole-stage codegen: explode shingles (pipelined, never materialized),
+    hash each shingle twice, derive the k functions with rotate/XOR, reduce
+    with a map-side-combined ``min`` aggregate — the shuffle carries one
+    k-long row per doc, O(docs) not O(shingles).
+
+    ``hash_rows`` (a prebuilt :func:`_minhash_hash_rows` frame, possibly
+    materialized) skips the explode+hash pass — the expensive part is the
+    interpreted shingle-string construction, which :func:`minhash_dedup`
+    shares with its verify stage this way.
+
+    (Measured note, sf0.1 local[32]: the previous array-HOF signature ran
+    interpreted — ``aggregate``/``transform`` are CodegenFallback — and per-
+    element node count dominated; this agg shape cut minhash_near_dups from
+    11.7s/28s to ~3s end-to-end.)"""
+    params = _mix_params(k)
+    ex = (hash_rows if hash_rows is not None
+          else _minhash_hash_rows(df, id_col, text_col, n))
     mins = ex.groupBy("_id").agg(*[
         F.min(
             _rotl64(F.col("_h1"), r).bitwiseXOR(_rotl64(F.col("_h2"), s))
@@ -268,6 +286,15 @@ def ngram_jaccard(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     if not sh.isStreaming:
         # consumed by both pair joins — shingle the candidate docs once
         sh = sh.localCheckpoint(eager=True)
+    return _pair_jaccard(pairs, sh)
+
+
+def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
+    """|∩|/|∪| per ``(id_a, id_b)`` pair over per-doc shingle-set arrays
+    ``sh (_id, _sh)`` — the shared tail of the string/hashed/shared-hash
+    verify paths. Set semantics: element order inside ``_sh`` is irrelevant
+    (intersect/union/size are order-independent), so any set construction
+    (array_distinct or collect_set) yields identical jaccard values."""
     out = (
         pairs.join(sh.withColumnRenamed("_sh", "sh_a"),
                    pairs.id_a == sh._id).drop("_id")
@@ -287,7 +314,14 @@ def minhash_dedup(df: DataFrame, id_col: str = "doc_id",
                   bands: int = 8, threshold: float = 0.8,
                   max_bucket: int | None = 1000) -> DataFrame:
     """End-to-end near-dup pair detection: minhash → LSH buckets (capped at
-    ``max_bucket`` rows per bucket) → verified Jaccard ≥ threshold."""
+    ``max_bucket`` rows per bucket) → verified Jaccard ≥ threshold.
+
+    A shared-hash variant (materialize :func:`_minhash_hash_rows` once,
+    derive signatures AND ``collect_set`` verify sets from it) was measured
+    and REJECTED at sf1.0: the verify's shingle pass is semi-join-pruned to
+    candidate docs (usually few), while the shared frame eagerly
+    materializes every shingle occurrence — interleaved A/B medians 4.9s vs
+    4.5s, with worse tails."""
     buckets = minhash_band_buckets(df, id_col=id_col, text_col=text_col,
                                    n=n, k=k, bands=bands)
     cands = _bucket_pairs(buckets, ["band", "band_hash"], max_bucket)
