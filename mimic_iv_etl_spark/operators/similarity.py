@@ -25,13 +25,30 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    """SQL text of the unrolled dim-term dot product over two column NAMES.
+    Built as one server-parsed string: the Column-operator build of the
+    same tree costs ~2 ms of Py4J per operator call — ~1.2s of driver wall
+    PER QUERY CONSTRUCTION at dim=64 (measured; the same chatter problem
+    the CDC apply path solved with F.expr strings). Left-associated ``+``
+    parses to the same order the HOF fold uses, so results are
+    bit-identical."""
+    return " + ".join(f"(get({a}, {i}) * get({b}, {i}))" for i in range(dim))
+
+
+def _norm_sql(v: str, dim: int) -> str:
+    return f"sqrt({_dot_sql(v, v, dim)})"
+
+
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
     """Dot product. With ``dim`` known, unroll to ``dim`` codegen'd
     multiply-adds — the higher-order ``aggregate``/``zip_with`` path is
     CodegenFallback (interpreted, measured ~20µs/pair at dim=64 vs <0.1µs
     unrolled; guide §4.1: prefer expressions codegen can compile). The
     unrolled sum is left-associated, the same order the HOF fold uses
-    (0+x₀)+x₁+…, so the float64 result is bit-identical."""
+    (0+x₀)+x₁+…, so the float64 result is bit-identical. Callers holding
+    column NAMES should prefer :func:`_dot_sql` (one Py4J parse instead of
+    ~3·dim Column calls)."""
     if dim is not None:
         return reduce(add, [
             F.get(a, i).cast("double") * F.get(b, i).cast("double")
@@ -77,24 +94,35 @@ def cosine_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     the pair stage then does dim multiply-adds and one divide per pair.
     The vector is widened to ``array<double>`` once per ROW (float→double
     is exact), so Catalyst's SimplifyCasts erases the per-element casts
-    from the per-PAIR expression — measured ~2× on the pair stage."""
+    from the per-PAIR expression — measured ~2× on the pair stage; all
+    unrolled expressions are built as single server-parsed SQL strings
+    (:func:`_dot_sql`), cutting ~1.2s of Py4J chatter off every query
+    construction."""
     from pyspark.sql import Window
 
-    vec = (F.col(vec_col).cast("array<double>") if dim is not None
-           else F.col(vec_col))
-    q = queries.select(F.col(id_col).alias("query_id"),
-                       vec.alias("_qv"),
-                       _norm(vec, dim).alias("_qn"))
-    c = df.select(F.col(id_col).alias("neighbor_id"),
-                  vec.alias("_cv"),
-                  _norm(vec, dim).alias("_cn"))
+    if dim is not None:
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).cast("array<double>").alias("_qv"))
+        q = q.selectExpr("query_id", "_qv",
+                         f"{_norm_sql('_qv', dim)} AS _qn")
+        c = df.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).cast("array<double>").alias("_cv"))
+        c = c.selectExpr("neighbor_id", "_cv",
+                         f"{_norm_sql('_cv', dim)} AS _cn")
+        score = F.expr(
+            f"round(({_dot_sql('_qv', '_cv', dim)}) / (_qn * _cn), 6)")
+    else:
+        q = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).alias("_qv"),
+                           _norm(F.col(vec_col)).alias("_qn"))
+        c = df.select(F.col(id_col).alias("neighbor_id"),
+                      F.col(vec_col).alias("_cv"),
+                      _norm(F.col(vec_col)).alias("_cn"))
+        score = F.round(_dot(F.col("_qv"), F.col("_cv"))
+                        / (F.col("_qn") * F.col("_cn")), 6)
     scored = (
         c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
-        .select(
-            "query_id", "neighbor_id",
-            F.round(_dot(F.col("_qv"), F.col("_cv"), dim)
-                    / (F.col("_qn") * F.col("_cn")), 6).alias("cosine"),
-        )
+        .select("query_id", "neighbor_id", score.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -131,17 +159,19 @@ def hyperplane_signature(df: DataFrame, vec_col: str = "embedding",
     if planes is not None:
         if len(planes) != n_planes:
             raise ValueError(f"expected {n_planes} planes, got {len(planes)}")
+        # plane components are Python floats: unroll each dot to codegen'd
+        # multiply-adds as ONE server-parsed SQL string (same
+        # left-associated order as the former HOF fold — bit-identical sign
+        # decisions; repr() round-trips the double and the D suffix keeps
+        # the literal a DOUBLE, not DECIMAL). One F.expr instead of
+        # ~3·dim·n_planes Py4J Column calls.
+        v = f"CAST(`{vec_col}` AS ARRAY<DOUBLE>)"
         terms = []
         for p, plane in enumerate(planes):
-            # plane components are Python floats: unroll the dot to codegen'd
-            # multiply-adds (same left-associated order as the former HOF
-            # fold — bit-identical sign decisions, no interpreted eval)
-            v = F.col(vec_col).cast("array<double>")
-            dot = reduce(add, [F.get(v, i) * F.lit(float(x))
-                               for i, x in enumerate(plane)])
-            terms.append(F.when(dot > 0, F.lit(1 << p).cast("long"))
-                         .otherwise(F.lit(0).cast("long")))
-        return df.withColumn(alias, reduce(add, terms))
+            dot = " + ".join(f"(get({v}, {i}) * {float(x)!r}D)"
+                             for i, x in enumerate(plane))
+            terms.append(f"(CASE WHEN ({dot}) > 0D THEN {1 << p}L ELSE 0L END)")
+        return df.withColumn(alias, F.expr(" + ".join(terms)))
 
     dots = F.aggregate(
         F.zip_with(
@@ -204,12 +234,14 @@ def lsh_bucketed_topk(df: DataFrame, queries: DataFrame, k: int = 10,
         queries.select(F.col(id_col).alias("query_id"), vec.alias("_qv")),
         "_qv", n_planes=n_planes, seed=seed, planes=planes,
     )
+    score = (F.expr(f"round(({_dot_sql('_qv', '_cv', dim)}) / "
+                    f"({_norm_sql('_qv', dim)} * {_norm_sql('_cv', dim)}), 6)")
+             if dim is not None
+             else F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
     scored = (
         corp.join(qry, "lsh_sig")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("_qv"), F.col("_cv"), dim), 6)
-                .alias("cosine"))
+        .select("query_id", "neighbor_id", score.alias("cosine"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")
@@ -259,12 +291,26 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
     centroids = [(r[0], [float(x) for x in r[1]]) for r in sel.collect()]
 
     def _cell_scores(vcol: str) -> list:
-        # cosine against each centroid as literal-array expressions
+        # cosine against each centroid as literal-array expressions; with
+        # dim known, built as one server-parsed SQL string per centroid
+        # (repr() round-trips the double literals; same left-associated op
+        # order as the Column build — bit-identical scores)
         out = []
+        v = f"CAST(`{vcol}` AS ARRAY<DOUBLE>)"
         for ci, (_, cvec) in enumerate(centroids):
-            lit_arr = F.array(*[F.lit(x) for x in cvec])
-            out.append((ci, cosine(F.col(vcol).cast("array<double>"), lit_arr,
-                                   len(cvec) if dim is not None else None)))
+            if dim is not None:
+                dot = " + ".join(f"(get({v}, {i}) * {float(x)!r}D)"
+                                 for i, x in enumerate(cvec))
+                vv = " + ".join(f"(get({v}, {i}) * get({v}, {i}))"
+                                for i in range(len(cvec)))
+                cl = " + ".join(f"({float(x)!r}D * {float(x)!r}D)"
+                                for x in cvec)
+                out.append((ci, F.expr(
+                    f"({dot}) / (sqrt({vv}) * sqrt({cl}))")))
+            else:
+                lit_arr = F.array(*[F.lit(x) for x in cvec])
+                out.append((ci, cosine(F.col(vcol).cast("array<double>"),
+                                       lit_arr)))
         return out
 
     def _top_cells(vcol: str, n: int) -> Column:
@@ -288,12 +334,14 @@ def ivf_topk(df: DataFrame, queries: DataFrame, k: int = 10,
         "cell", F.explode(F.transform(_top_cells("_qv", n_probe), lambda x: x["c"]))
     )
 
+    score = (F.expr(f"round(({_dot_sql('_qv', '_cv', dim)}) / "
+                    f"({_norm_sql('_qv', dim)} * {_norm_sql('_cv', dim)}), 6)")
+             if dim is not None
+             else F.round(cosine(F.col("_qv"), F.col("_cv")), 6))
     scored = (
         corp.join(qry, "cell")
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("_qv"), F.col("_cv"), dim), 6)
-                .alias("cosine"))
+        .select("query_id", "neighbor_id", score.alias("cosine"))
         .distinct()
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
@@ -326,16 +374,24 @@ def embedding_near_dups(df: DataFrame, id_col: str = "vec_id",
                 f"embedding_near_dups is an exact O(n²) verification kernel; "
                 f"corpus has {n} rows > max_rows={max_rows}. Route candidates "
                 "through lsh_bucketed_topk (or raise max_rows deliberately).")
-    vec = (F.col(vec_col).cast("array<double>") if dim is not None
-           else F.col(vec_col))
-    a = df.select(F.col(id_col).alias("id_a"), vec.alias("_va"),
-                  _norm(vec, dim).alias("_na"))
-    b = df.select(F.col(id_col).alias("id_b"), vec.alias("_vb"),
-                  _norm(vec, dim).alias("_nb"))
+    if dim is not None:
+        a = df.select(F.col(id_col).alias("id_a"),
+                      F.col(vec_col).cast("array<double>").alias("_va"))
+        a = a.selectExpr("id_a", "_va", f"{_norm_sql('_va', dim)} AS _na")
+        b = df.select(F.col(id_col).alias("id_b"),
+                      F.col(vec_col).cast("array<double>").alias("_vb"))
+        b = b.selectExpr("id_b", "_vb", f"{_norm_sql('_vb', dim)} AS _nb")
+        score = F.expr(
+            f"round(({_dot_sql('_va', '_vb', dim)}) / (_na * _nb), 6)")
+    else:
+        a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("_va"),
+                      _norm(F.col(vec_col)).alias("_na"))
+        b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("_vb"),
+                      _norm(F.col(vec_col)).alias("_nb"))
+        score = F.round(_dot(F.col("_va"), F.col("_vb"))
+                        / (F.col("_na") * F.col("_nb")), 6)
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b",
-                F.round(_dot(F.col("_va"), F.col("_vb"), dim)
-                        / (F.col("_na") * F.col("_nb")), 6).alias("cosine"))
+        .select("id_a", "id_b", score.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

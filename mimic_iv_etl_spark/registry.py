@@ -254,9 +254,15 @@ def q_event_windows(spark, sf):
     window operators chain over the same (key, order) spec, so Catalyst
     plans ONE exchange + sort for both — the merged entry is also the better
     plan shape. Merged from the r1–r3 entries ``cumulative_prior_count``/
-    ``within_timeframe`` (driver 50-pair gate budget, VERDICT r03 item 1)."""
+    ``within_timeframe`` (driver 50-pair gate budget, VERDICT r03 item 1).
+
+    Spread by the WINDOW key: the spread exchange then satisfies the
+    window's required distribution (no second exchange) while the
+    shuffle-write still leaves the unsplittable scan early — A/B at sf0.1:
+    no-spread 0.38 / id-spread 0.36 / user_id-spread 0.20s; flat at sf1."""
     out = windows.cumulative_prior_count(
-        _t(spark, sf, "events"), ["user_id"], ["ts", "event_id"]
+        _t(spark, sf, "events", spread_key="user_id"), ["user_id"],
+        ["ts", "event_id"]
     )
     out = windows.event_within_timeframe(
         out, ["user_id"], "ts", ["ts", "event_id"], days=7
@@ -266,18 +272,26 @@ def q_event_windows(spark, sf):
 
 
 def q_latest_per_key(spark, sf):
-    """J7/W4 — feature_engineering.py:238-240 (the LWW kernel). No spread:
-    measured flat-to-slower with it (the 150-group max_by already reduces
-    map-side; the extra full-row exchange buys nothing)."""
+    """J7/W4 — feature_engineering.py:238-240 (the LWW kernel). Spread by
+    the GROUP key (same rationale as q_lww_state; A/B ties no-spread at
+    both SFs and beats the id-spread)."""
     out = windows.latest_record_per_key(
-        _t(spark, sf, "events", spread=False), ["user_id"], ["ts", "event_id"]
+        _t(spark, sf, "events", spread_key="user_id"), ["user_id"],
+        ["ts", "event_id"]
     )
     return out.select("user_id", "event_id", "event_type", "value", "ts")
 
 
 def q_lww_state(spark, sf):
-    """CDC LWW dedup kernel on a composite key — SURVEY.md §4.3 item 2."""
-    out = lww_reduce(_t(spark, sf, "events"), ["user_id", "event_type"],
+    """CDC LWW dedup kernel on a composite key — SURVEY.md §4.3 item 2.
+    Spread by the GROUP key: the max_by kernel's string-bearing buffer
+    plans SortAggregate, whose partial sort ran single-core on the
+    unsplittable scan; group-key spread makes the spread exchange satisfy
+    the agg's distribution (one exchange total, 32-way complete agg) —
+    A/B: 1.74→0.83s at sf1.0, 0.26→0.22s at sf0.1."""
+    out = lww_reduce(_t(spark, sf, "events",
+                        spread_key=["user_id", "event_type"]),
+                     ["user_id", "event_type"],
                      stamp_cols=("ts", "event_id"), mode="agg")
     return out.select("user_id", "event_type", "event_id", "value", "ts")
 
