@@ -294,11 +294,18 @@ def _pair_jaccard(pairs: DataFrame, sh: DataFrame) -> DataFrame:
     ``sh (_id, _sh)`` — the shared tail of the string/hashed/shared-hash
     verify paths. Set semantics: element order inside ``_sh`` is irrelevant
     (intersect/union/size are order-independent), so any set construction
-    (array_distinct or collect_set) yields identical jaccard values."""
+    (array_distinct or collect_set) yields identical jaccard values.
+
+    ``sh`` is explicitly broadcast: one row per CANDIDATE doc (the pruned
+    set, bounded by the caller's bucket caps — ~0.5 KB/doc with hashed
+    shingles), and a shuffle join here would move each doc's array once
+    per pair it appears in (~25× at sf1.0) through two exchanges+sorts —
+    measured 5.7s vs 3.6s medians before broadcasting. The hint makes the
+    plan independent of the session broadcast threshold."""
     out = (
-        pairs.join(sh.withColumnRenamed("_sh", "sh_a"),
+        pairs.join(F.broadcast(sh.withColumnRenamed("_sh", "sh_a")),
                    pairs.id_a == sh._id).drop("_id")
-        .join(sh.withColumnRenamed("_sh", "sh_b").alias("s2"),
+        .join(F.broadcast(sh.withColumnRenamed("_sh", "sh_b").alias("s2")),
               pairs.id_b == F.col("s2._id")).drop("_id")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -55,21 +55,14 @@ def get_spark_session(
         # On a real cluster with dynamic allocation, re-enable per job.
         .config("spark.sql.adaptive.coalescePartitions.enabled", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # Let the planner pick shuffled-hash over sort-merge when the build
-        # side fits (guide §3.1/§9): the dedup/verify joins were paying full
-        # sorts of multi-hundred-MB intermediates for equi-joins whose build
-        # sides are tens of MB. Sort-merge remains available for big×big.
-        .config("spark.sql.join.preferSortMergeJoin",
-                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
-        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
-                os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP_THRESHOLD", "512m"))
-        # 64 MB broadcast threshold: the engine's dimension/candidate-side
-        # relations (shingle sets of candidate docs, size maps, query
-        # vectors) are tens of MB — broadcasting them removes whole shuffle
-        # rounds; guide §3.1: "a few hundred MB is usually fine". Production
-        # clusters can dial it back via the env knob.
-        .config("spark.sql.autoBroadcastJoinThreshold",
-                os.environ.get("SPARK_GRAFT_AUTOBROADCAST", "64m"))
+        # Join strategy stays at Spark defaults (SMJ-preferred, 10 MB auto-
+        # broadcast): a round-6 experiment with preferSortMergeJoin=false +
+        # 512m SHJ local-map + 64m auto-broadcast measured a consistent net
+        # LOSS on the join-bearing analytics (readmission 1.1-1.4s → 1.6s,
+        # minhash 3.6s → 4.7s at sf1.0) once the one join that genuinely
+        # needed a broadcast (the dedup verify's candidate shingle relation)
+        # got an explicit F.broadcast hint — deliberate per-join hints beat
+        # blanket strategy overrides here.
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.int96RebaseModeInWrite", "CORRECTED")
