@@ -191,14 +191,31 @@ def _minhash_hash_rows(df: DataFrame, id_col: str = "doc_id",
     (duplicates included — min aggregation ignores them; set consumers
     dedupe). ``_h1 = xxhash64(shingle)`` is exactly the hash the hashed
     verify uses, so a caller can materialize this frame once and derive
-    both the signatures and the verification shingle sets from it."""
-    return df.select(
-        F.col(id_col).alias("_id"),
-        F.explode(_shingles(text_col, n)).alias("_s"),
-    ).select(
-        "_id",
-        F.xxhash64("_s").alias("_h1"),
-        F.xxhash64(F.concat(F.lit("\x01|"), F.col("_s"))).alias("_h2"),
+    both the signatures and the verification shingle sets from it.
+
+    Shape: explode a position SEQUENCE and build each shingle string with
+    codegen'd ``concat_ws(slice(...))`` per exploded row — NOT
+    ``explode(_shingles(...))``, whose per-shingle string construction runs
+    through the interpreted HOF transform (CodegenFallback) and measured
+    4.5× slower (1.12s → 0.25s at sf1.0; identical (_id, hash) multisets).
+    The sub-n-token fallback mirrors ``_shingles``: k ≤ 0 ⇒ one whole-text
+    shingle (sequence(1, greatest(k, 1)) emits exactly i=1)."""
+    w = tokens(text_col)
+    k = F.greatest(F.size(F.col("_w")) - (n - 1), F.lit(1))
+    return (
+        df.select(F.col(id_col).alias("_id"), w.alias("_w"))
+        .select("_id", "_w", F.explode(F.sequence(F.lit(1), k)).alias("_i"))
+        .select(
+            "_id",
+            F.when(F.size("_w") < n, F.concat_ws(" ", F.col("_w")))
+            .otherwise(F.concat_ws(" ", F.slice("_w", F.col("_i"), n)))
+            .alias("_s"),
+        )
+        .select(
+            "_id",
+            F.xxhash64("_s").alias("_h1"),
+            F.xxhash64(F.concat(F.lit("\x01|"), F.col("_s"))).alias("_h2"),
+        )
     )
 
 
